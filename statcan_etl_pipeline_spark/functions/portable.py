@@ -29,8 +29,8 @@ def sql_round(expr: str, n: int = 2) -> str:
     """The same rounding as ``pround`` as an ANSI-SQL string (oracle side)."""
     s = repr(float(10**n))
     return (
-        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s} + 0.5) / {s} "
-        f"ELSE -(floor((-({expr})) * {s} + 0.5) / {s}) END)"
+        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s} + 0.5) / CAST({s} AS DOUBLE) "
+        f"ELSE -(floor((-({expr})) * {s} + 0.5) / CAST({s} AS DOUBLE)) END)"
     )
 
 
@@ -72,7 +72,7 @@ def sql_cents(expr: str, n: int = 2) -> str:
 
 def sql_money_sum(expr: str, n: int = 2) -> str:
     s = repr(float(10**n))
-    return f"(CAST(sum({sql_cents(expr, n)}) AS BIGINT) / {s})"
+    return f"(CAST(sum({sql_cents(expr, n)}) AS BIGINT) / CAST({s} AS DOUBLE))"
 
 
 def sql_money_avg(expr: str, n: int = 2) -> str:

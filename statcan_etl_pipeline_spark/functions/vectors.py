@@ -1,0 +1,60 @@
+"""Vector (embedding) column math with cross-engine-exact semantics.
+
+Dot products are accumulated in FIXED POINT (int64 nano-units): each
+elementwise product is rounded half-away-from-zero to 1e-9, then summed
+exactly — so Spark's `aggregate` fold and DuckDB's `list_sum` produce
+identical integers regardless of accumulation order, and the derived
+cosine doubles are bit-identical. Magnitudes: unit-ish 64-dim vectors
+→ |product|·1e9 ≤ 2^31, sums ≪ 2^53. All JVM-side (`zip_with` /
+`aggregate` inside codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCALE = "1000000000.0"
+
+
+def dot_fixed(a: str, b: str) -> Column:
+    """Int64 fixed-point dot product of two array<float> columns."""
+    prod = F.zip_with(
+        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    fixed = F.transform(
+        prod,
+        lambda p: F.when(p >= 0, F.floor(p * F.lit(1e9) + F.lit(0.5))).otherwise(
+            -F.floor((-p) * F.lit(1e9) + F.lit(0.5))
+        ),
+    )
+    return F.aggregate(fixed, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def sql_dot_fixed(a: str, b: str) -> str:
+    prod = f"(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    fixed = (
+        f"CASE WHEN {prod} >= 0 THEN CAST(floor({prod} * {_SCALE} + 0.5) AS BIGINT) "
+        f"ELSE -CAST(floor((-{prod}) * {_SCALE} + 0.5) AS BIGINT) END"
+    )
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {fixed})) AS BIGINT)"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity (double, bit-identical to sql_cosine)."""
+    dab = dot_fixed(a, b) / F.lit(1e9)
+    daa = dot_fixed(a, a) / F.lit(1e9)
+    dbb = dot_fixed(b, b) / F.lit(1e9)
+    return F.when((daa > 0) & (dbb > 0), dab / (F.sqrt(daa) * F.sqrt(dbb)))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    dab = f"({sql_dot_fixed(a, b)} / {_SCALE})"
+    daa = f"({sql_dot_fixed(a, a)} / {_SCALE})"
+    dbb = f"({sql_dot_fixed(b, b)} / {_SCALE})"
+    return (
+        f"(CASE WHEN {daa} > 0 AND {dbb} > 0 "
+        f"THEN {dab} / (sqrt({daa}) * sqrt({dbb})) ELSE NULL END)"
+    )

@@ -1,0 +1,106 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH.
+
+Scale design (100 TB of documents):
+- EXACT dedup is a hash-groupBy on a 16-byte fingerprint — one shuffle
+  on the fingerprint, map-side partial agg. Never compares full texts.
+- N-GRAM JACCARD builds an inverted index shingle→doc and joins on
+  shingle, so only pairs sharing ≥1 shingle are generated — never the
+  O(n²) cross join. Word k-grams keep shingles rare (bounded fan-out).
+  For high-commonality shingle spaces (char n-grams), use MinHash+LSH.
+- MINHASH is computed with a PORTABLE hash: the lexicographic MIN of
+  md5(seed || ':' || shingle) per seed. md5 is identical everywhere,
+  so the oracle can reproduce signatures exactly. Banded LSH then
+  joins docs on (band_index, band_key) — candidate generation is one
+  shuffle on band keys; per-bucket fan-out is bounded by bucket size.
+
+All expressions are built-in (codegen'd); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+def exploded_shingles(docs: DataFrame, shingles_col: str = "shingles") -> DataFrame:
+    """(doc_id, sh) — distinct shingles per doc."""
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(F.col(shingles_col))).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signature(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): per-seed lexicographic min of
+    md5(seed:shingle). One shuffle (groupBy doc_id)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary"))).alias(f"mh_{k}")
+        for k in range(n_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one LSH band."""
+    n_bands = n_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)]
+                    ).cast("binary")
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, common, jaccard) for pairs sharing ≥1 shingle with
+    Jaccard ≥ threshold, via the shingle inverted index."""
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns with a
+metadata struct; decode / feature-extraction runs as Arrow-batched
+`mapInPandas` so payload bytes never round-trip through Python row by
+row. The decode step itself is STUBBED (no image/audio libs in this
+container, by design): `fake_decode_features` is a deterministic
+stand-in with the real schema, partitioning, and batch shape; swap
+`_featurize_batch` for a real decoder (PIL/librosa/ffmpeg) in
+production.
+
+Scale: mapInPandas streams Arrow batches; memory is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch` × payload size. For
+100 TB of media, repartition by a size-aware key first so batches are
+even, and keep payloads out of shuffle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, mean_byte double, first_byte int"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo payload: utf-8 bytes of the text column + typed metadata."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("text/fake").alias("kind"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+        ),
+    )
+
+
+def _featurize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Deterministic FAKE decoder: replace with a real one (PIL etc.).
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "kind": pdf["kind"],
+            "n_bytes": payloads.map(len).astype("int64"),
+            "mean_byte": payloads.map(
+                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+            ),
+            "first_byte": payloads.map(lambda b: int(b[0]) if len(b) else -1).astype(
+                "int32"
+            ),
+        }
+    )
+
+
+def fake_decode_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, kind, payload)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _featurize_batch(pdf)
+
+    cols = df.select("doc_id", F.col("media_meta.kind").alias("kind"), "payload")
+    return cols.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def real_decode_image(df: DataFrame) -> DataFrame:
+    """Placeholder for a real image decoder (PIL not available here)."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not present in this environment; "
+        "use fake_decode_features for plumbing tests"
+    )

@@ -1,1 +1,176 @@
-"""Filled in as SURVEY.md §2 coverage widens."""
+"""Dedup queries over `documents` / `embeddings` with DuckDB oracles.
+
+The MinHash oracle reproduces signatures EXACTLY because the minhash
+is defined portably: lexicographic min of md5(seed:shingle) — see
+operators/dedup.py for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round as R
+from ..functions.text import (
+    char_shingles,
+    norm_text,
+    sql_char_shingles,
+    sql_norm_text,
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from ..functions.vectors import cosine, sql_cosine
+from ..operators.dedup import (
+    BAND_ROWS,
+    N_HASHES,
+    exploded_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from ..registry import query
+
+_NORM_SQL = sql_norm_text("text")
+JACCARD_TAU = 0.05
+COS_TAU = 0.4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized-text fingerprint
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+SELECT md5(norm) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM base
+GROUP BY fp
+ORDER BY fp
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("norm", norm_text("text"))
+    return (
+        docs.select("doc_id", F.md5(F.col("norm").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup via shingle inverted index (word 3-grams)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens(_NORM_SQL)} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_word_shingles("toks", 3)}) AS sh FROM base
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, common,
+       (CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE)) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE (CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE)) >= {JACCARD_TAU}
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("toks", tokens("norm"))
+        .withColumn("shingles", word_shingles("toks", 3))
+    )
+    shingled = exploded_shingles(docs)
+    return jaccard_pairs(shingled, JACCARD_TAU).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH candidate pairs (char 5-gram shingles)
+# ---------------------------------------------------------------------------
+def _mh_sql() -> str:
+    mh = ", ".join(
+        f"min(md5('{k}:' || sh)) AS mh_{k}" for k in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"mh_{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + ") AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_char_shingles("norm", 5)}) AS sh FROM base
+), sig AS (
+  SELECT doc_id, {mh} FROM sh GROUP BY doc_id
+), bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_mh_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    shingled = exploded_shingles(docs)
+    sig = minhash_signature(shingled, N_HASHES)
+    return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (brute force; LSH variant = ann_lsh_cosine)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {R(sql_cosine("a.embedding", "b.embedding"), 6)} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs
+WHERE cosine >= {COS_TAU}
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute-force O(n²) — correct baseline and the oracle target. At
+    # scale, generate candidates with random-hyperplane LSH
+    # (similarity.ann_lsh_cosine) and verify only within buckets.
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", pround(cosine("emb_a", "emb_b"), 6))
+        .filter(F.col("cosine") >= COS_TAU)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )

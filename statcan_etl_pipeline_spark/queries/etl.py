@@ -1,1 +1,152 @@
-"""Filled in as SURVEY.md §2 coverage widens."""
+"""ETL-layer queries: the declarative pipeline runner demo and the
+StatCan-WDS-shaped surface (vector time series, latest-revision dedup,
+period-over-period change) — re-expressed over the testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import money_sum, pround, sql_money_sum as MS, sql_round as R
+from ..plans.pipeline import run_pipeline
+from ..registry import query
+
+REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# Declarative pipeline demo: the MS() fixed-point SQL fragment parses in
+# BOTH Spark SQL and DuckDB, so the spec string and the oracle share it.
+# ---------------------------------------------------------------------------
+_DEMO_SPEC = {
+    "source": "lineitem",
+    "steps": [
+        {"op": "filter", "expr": "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"},
+        {"op": "derive", "name": "rev", "expr": REV_SQL},
+        {
+            "op": "aggregate",
+            "by": ["l_returnflag", "l_linestatus"],
+            "aggs": {"revenue": MS("rev"), "n": "count(*)"},
+        },
+        {"op": "sort", "by": ["l_returnflag", "l_linestatus"]},
+    ],
+}
+
+
+@query(
+    "pipeline_declarative_demo",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {MS(REV_SQL)} AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pipeline_declarative_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {"lineitem": load_table(spark, sf_dir, "lineitem")}
+    return run_pipeline(_DEMO_SPEC, tables)
+
+
+# ---------------------------------------------------------------------------
+# StatCan-WDS-shaped surface. A WDS table is a long-format series of
+# (vector, ref_date, value) observations; the pipeline's core moves are:
+# build vector time series, keep only the latest revision per
+# (series, ref_date), and compute period-over-period change.
+# ---------------------------------------------------------------------------
+@query(
+    "statcan_vector_timeseries",
+    oracle=f"""
+SELECT 'v' || CAST(n_nationkey AS VARCHAR) AS vector,
+       strftime(o_orderdate, '%Y-%m')      AS ref_month,
+       {MS("o_totalprice")}                AS value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY vector, ref_month
+ORDER BY vector, ref_month
+""",
+)
+def statcan_vector_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.concat(F.lit("v"), F.col("n_nationkey").cast("string")).alias("vector"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ref_month"),
+        )
+        .agg(money_sum("o_totalprice").alias("value"))
+        .orderBy("vector", "ref_month")
+    )
+
+
+@query(
+    "statcan_latest_revision",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS ref_date, value, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ref_date, value, event_id AS revision_event
+FROM ranked WHERE rn = 1
+ORDER BY user_id, ref_date
+""",
+)
+def statcan_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "Latest value wins": WDS re-publishes observations; only the most
+    # recent revision per (series, ref_date) is current. One window
+    # shuffle on (series, date) — no self-join.
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "ref_date").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("ref_date", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ref_date", "value", F.col("event_id").alias("revision_event"))
+        .orderBy("user_id", "ref_date")
+    )
+
+
+@query(
+    "statcan_pct_change_yoy",
+    oracle=f"""
+WITH series AS (
+  SELECT 'v' || CAST(n_nationkey AS VARCHAR) AS vector,
+         strftime(o_orderdate, '%Y-%m')      AS ref_month,
+         {MS("o_totalprice")}                AS value
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY vector, ref_month
+), lagged AS (
+  SELECT vector, ref_month, value,
+         lag(value, 12) OVER (PARTITION BY vector ORDER BY ref_month) AS prev
+  FROM series
+)
+SELECT vector, ref_month, value,
+       CASE WHEN prev IS NOT NULL AND prev <> 0
+            THEN {R("((value - prev) / prev) * 100.0", 4)} END AS pct_change_yoy
+FROM lagged
+ORDER BY vector, ref_month
+""",
+)
+def statcan_pct_change_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = statcan_vector_timeseries(spark, sf_dir)
+    w = W.partitionBy("vector").orderBy("ref_month")
+    prev = F.lag("value", 12).over(w)
+    pct = pround(((F.col("value") - prev) / prev) * F.lit(100.0), 4)
+    return (
+        series.withColumn(
+            "pct_change_yoy", F.when(prev.isNotNull() & (prev != 0), pct)
+        )
+        .orderBy("vector", "ref_month")
+    )

@@ -1,1 +1,120 @@
-"""Filled in as SURVEY.md §2 coverage widens."""
+"""Similarity search over the `embeddings` table.
+
+- knn_bruteforce_cosine: exact top-k — the correctness baseline, fully
+  oracle-checked (rank computed over ROUNDED cosine with id tie-break,
+  so cross-engine ordering is deterministic).
+- ann_lsh_cosine: random-hyperplane LSH bucketing — the 100 TB path
+  (candidates only within buckets; one shuffle on bucket key instead
+  of an O(n²) cross join). Hyperplanes are derived deterministically
+  from md5, so results are reproducible; rows-only driver check, with
+  structural assertions in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round as R
+from ..functions.vectors import cosine, sql_cosine
+from ..registry import query
+
+N_QUERIES = 5
+TOP_K = 10
+N_PLANES = 4
+DIM = 64
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {R(sql_cosine("q.embedding", "c.embedding"), 6)} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across sessions and engines (no RNG state)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(1 << 32) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(emb_col: str) -> F.Column:
+    """Sign-bit bucket key from the deterministic hyperplanes."""
+    bits = []
+    for row in _hyperplanes():
+        plane = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+@query("ann_lsh_cosine")  # rows-only: LSH bucketing isn't SQL-oracle-expressible cheaply
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("bucket").alias("bq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("bucket").alias("bc"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("bq") == F.col("bc")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine", F.col("bq").alias("bucket"))
+        .orderBy("query_id", "rank")
+    )

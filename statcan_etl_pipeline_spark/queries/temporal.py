@@ -1,1 +1,185 @@
-"""Filled in as SURVEY.md §2 coverage widens."""
+"""Temporal queries over the `events` stream-shaped table: as-of join,
+range join, gap sessionization, tumbling-window aggregation (the batch
+twin of the streaming job in streaming/jobs.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import money_sum, sql_money_sum as MS
+from ..operators.temporal import asof_join_backward, sessionize
+from ..registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior view
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_purchase_to_view",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, 0 AS src, event_id AS view_id, NULL AS purchase_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS src, NULL AS view_id, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT *,
+    last_value(view_id IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, src, view_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view_id,
+    last_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, src, view_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_ts
+  FROM tagged
+)
+SELECT purchase_id AS event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       matched_view_id AS view_id,
+       strftime(matched_ts, '{TS_FMT_DUCK}') AS view_ts
+FROM carried WHERE src = 1
+ORDER BY event_id
+""",
+)
+def asof_join_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join_backward(purchases, views, on=["user_id"], right_prefix="matched_")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.col("matched_view_id").alias("view_id"),
+        F.date_format("matched_ts", TS_FMT_SPARK).alias("view_ts"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Range join: events within 1 hour after the same user's signup
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_events_after_signup",
+    oracle=f"""
+SELECT s.event_id AS signup_id, e.event_id AS event_id, e.event_type,
+       strftime(e.ts, '{TS_FMT_DUCK}') AS event_ts
+FROM events s JOIN events e
+  ON s.user_id = e.user_id
+ AND e.ts > s.ts
+ AND e.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+ORDER BY signup_id, event_id
+""",
+)
+def range_join_events_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-key on user_id keeps this a hash/sort-merge join with a range
+    # residual — never a cartesian. At scale, bucket both sides by
+    # user_id to co-locate.
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    return (
+        ev.join(
+            signups,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("ts") > F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "signup_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("event_ts"),
+        )
+        .orderBy("signup_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (30-minute inactivity gap)
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS start_ts,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS end_ts,
+       {MS("value")} AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak=["event_id"])
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("start_ts"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("end_ts"),
+            money_sum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour window aggregation (batch parity of the streaming job)
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling_1h",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       count(*) AS n,
+       {MS("value")} AS total_value
+FROM events
+GROUP BY bucket_start, event_type
+ORDER BY bucket_start, event_type
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )

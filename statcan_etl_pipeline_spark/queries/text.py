@@ -1,1 +1,214 @@
-"""Filled in as SURVEY.md §2 coverage widens."""
+"""Text analysis over the `documents` table: stats, quality scoring,
+language-ID heuristic, fingerprinting. All built-in-function (JVM)
+expressions — no Python UDFs — with exactly mirrored DuckDB oracles.
+
+The quality score is deliberately RATIONAL arithmetic only (no
+exp/ln — JVM and libm transcendentals can differ by 1 ulp); the
+sigmoid-ish squash is x/(1+|x|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round as R
+from ..functions.text import (
+    STOPWORDS,
+    char_shingles,
+    class_count,
+    norm_text,
+    sql_char_shingles,
+    sql_class_count,
+    sql_norm_text,
+    sql_stopword_hits,
+    sql_tokens,
+    stopword_hits,
+    tokens,
+)
+from ..registry import query
+
+PUNCT = ".,;:!?"
+_NORM_SQL = sql_norm_text("text")
+_DOC_BASE_SQL = f"""
+  SELECT doc_id, lang, source, text,
+         {_NORM_SQL} AS norm,
+         {sql_tokens(_NORM_SQL)} AS toks
+  FROM documents
+"""
+
+
+def _doc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("norm", norm_text("text"))
+        .withColumn("toks", tokens("norm"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document statistics
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL})
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT)    AS n_tokens,
+       (CAST({sql_class_count("text", PUNCT)} AS DOUBLE)
+        / CAST(length(text) AS DOUBLE))  AS punct_ratio,
+       (CAST({sql_class_count("text", "0-9")} AS DOUBLE)
+        / CAST(length(text) AS DOUBLE))  AS digit_ratio,
+       (CAST(length(regexp_replace(norm, ' ', '', 'g')) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE))     AS avg_word_len
+FROM base
+ORDER BY doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size("toks").cast("long")
+    return base.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (class_count("text", PUNCT).cast("double") / n_chars.cast("double")).alias(
+            "punct_ratio"
+        ),
+        (class_count("text", "0-9").cast("double") / n_chars.cast("double")).alias(
+            "digit_ratio"
+        ),
+        (
+            F.length(F.regexp_replace("norm", " ", "")).cast("double")
+            / n_tokens.cast("double")
+        ).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Composite quality score (rational sigmoid)
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+feats AS (
+  SELECT doc_id, lang,
+         (CAST({sql_stopword_hits("toks", STOPWORDS["en"])} AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE)) AS stop_ratio,
+         (CAST({sql_class_count("text", PUNCT)} AS DOUBLE)
+          / CAST(length(text) AS DOUBLE)) AS punct_ratio,
+         (CAST({sql_class_count("text", "0-9")} AS DOUBLE)
+          / CAST(length(text) AS DOUBLE)) AS digit_ratio,
+         (CAST(least(len(toks), 200) AS DOUBLE) / 200.0) AS len_feat
+  FROM base
+), scored AS (
+  SELECT doc_id, lang,
+         (2.0 * stop_ratio - 4.0 * punct_ratio - 2.0 * digit_ratio + len_feat) AS x
+  FROM feats
+)
+SELECT doc_id, lang,
+       {R("(x / (1.0 + abs(x)))", 6)} AS quality
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size("toks")
+    stop_ratio = stopword_hits("toks", STOPWORDS["en"]).cast("double") / n_tokens.cast(
+        "double"
+    )
+    punct_ratio = class_count("text", PUNCT).cast("double") / n_chars
+    digit_ratio = class_count("text", "0-9").cast("double") / n_chars
+    len_feat = F.least(n_tokens, F.lit(200)).cast("double") / F.lit(200.0)
+    x = (
+        F.lit(2.0) * stop_ratio
+        - F.lit(4.0) * punct_ratio
+        - F.lit(2.0) * digit_ratio
+        + len_feat
+    )
+    return base.select(
+        "doc_id", "lang", pround(x / (F.lit(1.0) + F.abs(x)), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword hit argmax, fixed priority ties)
+# ---------------------------------------------------------------------------
+@query(
+    "text_langid",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+hits AS (
+  SELECT doc_id, lang,
+         {sql_stopword_hits("toks", STOPWORDS["en"])} AS hits_en,
+         {sql_stopword_hits("toks", STOPWORDS["fr"])} AS hits_fr,
+         {sql_stopword_hits("toks", STOPWORDS["de"])} AS hits_de,
+         {sql_stopword_hits("toks", STOPWORDS["es"])} AS hits_es
+  FROM base
+)
+SELECT doc_id, lang AS actual_lang, hits_en, hits_fr, hits_de, hits_es,
+       CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+            WHEN hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+            WHEN hits_de >= hits_es THEN 'de'
+            ELSE 'es' END AS guess
+FROM hits
+ORDER BY doc_id
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    hits = base.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        stopword_hits("toks", STOPWORDS["en"]).alias("hits_en"),
+        stopword_hits("toks", STOPWORDS["fr"]).alias("hits_fr"),
+        stopword_hits("toks", STOPWORDS["de"]).alias("hits_de"),
+        stopword_hits("toks", STOPWORDS["es"]).alias("hits_es"),
+    )
+    guess = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_es")),
+            "en",
+        )
+        .when(
+            (F.col("hits_fr") >= F.col("hits_de"))
+            & (F.col("hits_fr") >= F.col("hits_es")),
+            "fr",
+        )
+        .when(F.col("hits_de") >= F.col("hits_es"), "de")
+        .otherwise("es")
+    )
+    return hits.withColumn("guess", guess).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints: md5 of normalized text + min-of-char-5-gram-hash sketch
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL})
+SELECT doc_id,
+       md5(norm) AS fp,
+       list_min(list_transform({sql_char_shingles("norm", 5)}, s -> md5(s))) AS min_shingle_hash
+FROM base
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        F.md5(F.col("norm").cast("binary")).alias("fp"),
+        F.array_min(
+            F.transform(char_shingles("norm", 5), lambda s: F.md5(s.cast("binary")))
+        ).alias("min_shingle_hash"),
+    ).orderBy("doc_id")

@@ -1,0 +1,57 @@
+"""Partitioned / bucketed sinks.
+
+At 100 TB the write layout IS the read performance: partition columns
+give partition pruning on read; bucketing co-locates join keys so
+downstream joins skip the shuffle entirely. Target file size matters
+too — aim for 128 MB–1 GB files via repartition before write, never
+thousands of kilobyte files."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+) -> None:
+    if target_partitions:
+        df = (
+            df.repartition(target_partitions, *partition_cols)
+            if partition_cols
+            else df.repartition(target_partitions)
+        )
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on bucket_col read shuffle-free."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).options(header="true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
