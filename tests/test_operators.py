@@ -1,0 +1,145 @@
+"""Unit tests for operators with tiny inline frames: edge cases the
+oracle suite can't reach (empty inputs, ties, nulls, unicode)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from statcan_etl_pipeline_spark.operators.dedup import (
+    exploded_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from statcan_etl_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    fake_decode_features,
+)
+from statcan_etl_pipeline_spark.operators.temporal import (
+    asof_join_backward,
+    sessionize,
+)
+from statcan_etl_pipeline_spark.plans.pipeline import run_pipeline
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_exact_timestamp_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "L1")], "user_id long, ts timestamp, l string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "R-same"),
+            (1, _ts("2024-01-01T09:00:00"), "R-before"),
+            (1, _ts("2024-01-01T11:00:00"), "R-after"),
+        ],
+        "user_id long, ts timestamp, r string",
+    )
+    out = asof_join_backward(left, right, on=["user_id"]).collect()
+    assert len(out) == 1
+    assert out[0]["matched_r"] == "R-same"  # <= semantics: equal ts matches
+
+
+def test_asof_join_no_match_is_null(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T08:00:00"), "L1")], "user_id long, ts timestamp, l string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), "R1")], "user_id long, ts timestamp, r string"
+    )
+    out = asof_join_backward(left, right, on=["user_id"]).collect()
+    assert out[0]["matched_r"] is None
+
+
+def test_asof_join_key_isolation(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "L1")], "user_id long, ts timestamp, l string"
+    )
+    right = spark.createDataFrame(
+        [(2, _ts("2024-01-01T09:00:00"), "other-user")],
+        "user_id long, ts timestamp, r string",
+    )
+    out = asof_join_backward(left, right, on=["user_id"]).collect()
+    assert out[0]["matched_r"] is None
+
+
+def test_sessionize_gap_boundary(spark):
+    # events exactly gap apart stay in ONE session (strict > starts new)
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1),
+        (1, _ts("2024-01-01T10:30:00"), 2),   # exactly 1800s later
+        (1, _ts("2024-01-01T11:00:01"), 3),   # 1801s later → new session
+        (2, _ts("2024-01-01T10:00:00"), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessionize(df, gap_seconds=1800, tiebreak=["event_id"]).collect()
+    by_event = {r["event_id"]: r["session_id"] for r in out}
+    assert by_event[1] == by_event[2] == 1
+    assert by_event[3] == 2
+    assert by_event[4] == 1  # per-user numbering
+
+
+def test_jaccard_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, ["a b c", "b c d"]), (3, ["x y z"])],
+        "doc_id long, shingles array<string>",
+    )
+    sh = exploded_shingles(docs)
+    out = jaccard_pairs(sh, threshold=0.99).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_a"], out[0]["doc_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    docs = spark.createDataFrame(
+        [(1, ["aaaaa", "bbbbb", "ccccc"]), (2, ["aaaaa", "bbbbb", "ccccc"]), (3, ["zzzzz"])],
+        "doc_id long, shingles array<string>",
+    )
+    sig = minhash_signature(exploded_shingles(docs))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs  # identical signature → all bands collide
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_pipeline_runner_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, k string, v double"
+    )
+    spec = {
+        "source": "t",
+        "steps": [
+            {"op": "filter", "expr": "v > 5"},
+            {"op": "derive", "name": "v2", "expr": "v * 2"},
+            {"op": "aggregate", "by": ["k"], "aggs": {"total": "sum(v2)", "n": "count(*)"}},
+            {"op": "sort", "by": ["k"]},
+            {"op": "limit", "n": 10},
+        ],
+    }
+    out = run_pipeline(spec, {"t": df}).collect()
+    assert [(r["k"], r["total"], r["n"]) for r in out] == [("a", 60.0, 2), ("b", 60.0, 1)]
+
+
+def test_pipeline_unknown_op_raises(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        run_pipeline({"source": "t", "steps": [{"op": "explode_all"}]}, {"t": df})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "explode_all" in str(e)
+
+
+def test_multimodal_fake_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "Ω unicode"), (3, "")], "doc_id long, text string"
+    )
+    feats = fake_decode_features(attach_binary_payload(docs)).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 3 and by_id[1]["first_byte"] == ord("a")
+    assert abs(by_id[1]["mean_byte"] - (ord("a") + ord("b") + ord("c")) / 3) < 1e-9
+    assert by_id[2]["n_bytes"] == len("Ω unicode".encode())  # bytes, not chars
+    assert by_id[3]["n_bytes"] == 0 and by_id[3]["first_byte"] == -1

