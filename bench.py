@@ -26,6 +26,11 @@ HEADLINE = [
     "agg_rollup_sales",
     "window_top3_parts_per_supplier",
     "topk_customers_by_revenue",
+    "sessionize_events",
+    "events_tumbling_1h",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
 ]
 
 

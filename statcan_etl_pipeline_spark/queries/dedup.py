@@ -31,6 +31,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signature,
 )
+from ..operators.simhash import simhash_oracle_sql, simhash_signatures
 from ..registry import query
 
 _NORM_SQL = sql_norm_text("text")
@@ -142,6 +143,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
     return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + bands (char 5-gram shingles)
+# ---------------------------------------------------------------------------
+_SIMHASH_SHINGLE_CTE = f"""
+  SELECT DISTINCT doc_id, unnest({sql_char_shingles(f"({_NORM_SQL})", 5)}) AS sh
+  FROM documents
+"""
+
+
+@query("dedup_simhash", oracle=simhash_oracle_sql(_SIMHASH_SHINGLE_CTE))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    shingled = exploded_shingles(docs)
+    return simhash_signatures(shingled).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

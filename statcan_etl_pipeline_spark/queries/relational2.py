@@ -1,0 +1,440 @@
+"""Relational coverage, batch 2: the remaining adaptable TPC-H shapes
+plus JSON extraction, window navigation functions, fuzzy string match,
+array higher-order functions, and GROUPING SETS.
+
+Ratio-of-sums queries divide two fixed-point money sums — both engines
+produce identical numerators/denominators, so the quotient double is
+bit-identical (IEEE division is correctly rounded)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import (
+    money_avg,
+    money_sum,
+    pround,
+    sql_money_avg as MA,
+    sql_money_sum as MS,
+    sql_round as R,
+)
+from ..registry import query
+
+REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q4-shaped: late-shipped orders by priority (EXISTS with range condition)
+# ---------------------------------------------------------------------------
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-shaped: market share of one nation per order year
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ({MS(f"CASE WHEN n_name = 'NATION_3' THEN {REV_SQL} ELSE 0.0 END")}
+        / {MS(REV_SQL)}) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nation_rev = F.when(F.col("n_name") == "NATION_3", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((money_sum(nation_rev) / money_sum(_revenue())).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped: customer order-count distribution (left join incl. zeros)
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-shaped: promo revenue share
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+SELECT (100.0 * {MS(f"CASE WHEN p_type = 'PROMO' THEN {REV_SQL} ELSE 0.0 END")}
+        / {MS(REV_SQL)}) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (F.lit(100.0) * money_sum(promo_rev) / money_sum(_revenue())).alias("promo_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-shaped: top supplier(s) by period revenue (ties kept)
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH srev AS (
+  SELECT l_suppkey AS supplier_no, {MS(REV_SQL)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN srev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM srev)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    srev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(_revenue()).alias("total_revenue")
+    )
+    mx = srev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        srev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped: supplier counts by part attributes
+# ---------------------------------------------------------------------------
+@query(
+    "q16_parts_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'BRAND_1' AND p_size IN (1, 5, 9, 13, 17)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND_1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-shaped: small-quantity orders vs per-part average (self-agg join)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH pa AS (
+  SELECT l_partkey AS pk, {MA("l_quantity")} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ({MS("l_extendedprice")} / 7.0) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'BRAND_1' AND l_quantity < 0.5 * avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_1")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(money_avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((money_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-shaped: disjunctive predicate revenue
+# ---------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {MS(REV_SQL)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'BRAND_2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'BRAND_3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "BRAND_1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "BRAND_2") & F.col("p_size").between(5, 20) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "BRAND_3") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(money_sum(_revenue()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-shaped: wealthy inactive customers by pseudo country code
+# ---------------------------------------------------------------------------
+@query(
+    "q22_wealthy_inactive",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {MA("c_acctbal", 4)} AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+       count(*) AS numcust,
+       {MS("c_acctbal")} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        money_avg("c_acctbal", 4).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), money_sum("c_acctbal").alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from the events props column
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n,
+       {MS("value")} AS total_value
+FROM events
+GROUP BY k
+ORDER BY k
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window navigation: lead/lag/rank family over per-user event sequences
+# ---------------------------------------------------------------------------
+@query(
+    "window_navigation_events",
+    oracle=f"""
+SELECT event_id, user_id,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       CAST(rank()       OVER wv AS BIGINT) AS value_rank,
+       CAST(dense_rank() OVER wv AS BIGINT) AS value_dense_rank,
+       CAST(ntile(4)     OVER wv AS BIGINT) AS quartile
+FROM events
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def window_navigation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.rank().over(wv).cast("long").alias("value_rank"),
+        F.dense_rank().over(wv).cast("long").alias("value_dense_rank"),
+        F.ntile(4).over(wv).cast("long").alias("quartile"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string match: levenshtein distance to a probe name
+# ---------------------------------------------------------------------------
+@query(
+    "string_fuzzy_part_match",
+    oracle="""
+SELECT p_partkey, p_name, CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist
+FROM part
+WHERE levenshtein(p_name, 'red widget') <= 5
+ORDER BY dist, p_partkey
+""",
+)
+def string_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("red widget"))
+    return (
+        part.select("p_partkey", "p_name", dist.cast("long").alias("dist"))
+        .filter(F.col("dist") <= 5)
+        .orderBy("dist", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions: per-user sorted type digests
+# ---------------------------------------------------------------------------
+@query(
+    "array_hof_user_digest",
+    oracle="""
+SELECT user_id,
+       array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS types_sorted,
+       CAST(len(list(DISTINCT event_type ORDER BY event_type)) AS BIGINT)  AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def array_hof_user_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", types).alias("types_sorted"),
+            F.size(types).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS via the SQL API — the fragment is engine-portable, so the
+# Spark query text IS the oracle text.
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {MS("l_quantity")} AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("grouping_sets_flags", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -50,6 +50,7 @@ def _load_all() -> None:
         etl,
         multimodal,
         relational,
+        relational2,
         similarity,
         temporal,
         text,

@@ -143,3 +143,21 @@ def test_multimodal_fake_decode(spark):
     assert abs(by_id[1]["mean_byte"] - (ord("a") + ord("b") + ord("c")) / 3) < 1e-9
     assert by_id[2]["n_bytes"] == len("Ω unicode".encode())  # bytes, not chars
     assert by_id[3]["n_bytes"] == 0 and by_id[3]["first_byte"] == -1
+
+
+def test_simhash_identical_docs_collide_all_bands(spark):
+    from statcan_etl_pipeline_spark.operators.simhash import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaa"), (1, "bbbbb"), (2, "aaaaa"), (2, "bbbbb"), (3, "zzzzz")],
+        "doc_id long, sh string",
+    )
+    sig = simhash_signatures(docs)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert rows[1]["simhash"] == rows[2]["simhash"]
+    assert len(rows[1]["simhash"]) == 16
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs
