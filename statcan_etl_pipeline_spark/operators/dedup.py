@@ -21,25 +21,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# 8 hashes as 2 bands × 4 rows: P(candidate) ≈ s^4 per band — tuned for
+# a high-similarity corpus (char-5-gram jaccard ~0.4 between random
+# same-vocab docs would flood r=2 banding with ~20% of all pairs).
 N_HASHES = 8
-BAND_ROWS = 2  # 4 bands × 2 rows
+BAND_ROWS = 4
 
 
 def exploded_shingles(docs: DataFrame, shingles_col: str = "shingles") -> DataFrame:
-    """(doc_id, sh) — distinct shingles per doc."""
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(F.col(shingles_col))).alias("sh"))
-        .distinct()
+    """(doc_id, sh) — distinct shingles per doc. Per-doc dedup happens
+    in `array_distinct` BEFORE the explode, so no global distinct (a
+    full extra shuffle of the exploded rows) is needed."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.col(shingles_col))).alias("sh")
     )
 
 
+def _mh_expr(k: int) -> str:
+    """Portable minhash k: an 8-hex-char chunk of md5(seed:shingle),
+    seed = k div 4, chunk = k mod 4 — four minhashes per md5 call
+    (4× fewer digests than one md5 per hash)."""
+    seed, chunk = divmod(k, 4)
+    return f"min(substr(md5('{seed}:' || sh), {1 + 8 * chunk}, 8))"
+
+
 def minhash_signature(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, mh_0..mh_{n-1}): per-seed lexicographic min of
-    md5(seed:shingle). One shuffle (groupBy doc_id)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary"))).alias(f"mh_{k}")
-        for k in range(n_hashes)
-    ]
+    """(doc_id, mh_0..mh_{n-1}): per-seed lexicographic min of md5
+    chunks. One shuffle (groupBy doc_id); map-side partial min."""
+    aggs = [F.expr(_mh_expr(k)).alias(f"mh_{k}") for k in range(n_hashes)]
     return shingled.groupBy("doc_id").agg(*aggs)
 
 

@@ -107,9 +107,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + banded LSH candidate pairs (char 5-gram shingles)
 # ---------------------------------------------------------------------------
 def _mh_sql() -> str:
-    mh = ", ".join(
-        f"min(md5('{k}:' || sh)) AS mh_{k}" for k in range(N_HASHES)
-    )
+    from ..operators.dedup import _mh_expr
+
+    mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(N_HASHES))
     n_bands = N_HASHES // BAND_ROWS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
