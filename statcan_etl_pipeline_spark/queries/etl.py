@@ -57,6 +57,83 @@ def pipeline_declarative_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # build vector time series, keep only the latest revision per
 # (series, ref_date), and compute period-over-period change.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Incremental load: upsert (latest-wins merge) and SCD2 history
+# ---------------------------------------------------------------------------
+@query(
+    "upsert_orders_corrections",
+    oracle=f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         {R("o_totalprice * 1.1")} AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+), tagged AS (
+  SELECT *, 0 AS src FROM orders
+  UNION ALL
+  SELECT *, 1 AS src FROM updates
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+  FROM tagged
+)
+SELECT o_orderkey, o_custkey, {R("o_totalprice")} AS totalprice, o_orderstatus
+FROM ranked WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def upsert_orders_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated corrections batch (+10% price for orderkey % 97 == 0)
+    merged latest-wins into the orders snapshot."""
+    from ..operators.incremental import upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", pround(F.col("o_totalprice") * 1.1)
+    )
+    merged = upsert(orders, updates, keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        pround("o_totalprice").alias("totalprice"),
+        "o_orderstatus",
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scd2_user_daily_value",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS ref_date, value,
+         row_number() OVER (
+           PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ref_date AS valid_from,
+       coalesce(lead(ref_date) OVER (PARTITION BY user_id ORDER BY ref_date),
+                '9999-12-31') AS valid_to,
+       value
+FROM latest WHERE rn = 1
+ORDER BY user_id, valid_from
+""",
+)
+def scd2_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity ranges over each user's daily latest value."""
+    from ..operators.incremental import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "ref_date").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("ref_date", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ref_date", "value")
+    )
+    hist = scd2_history(latest, keys=["user_id"], effective_col="ref_date")
+    return hist.select("user_id", "valid_from", "valid_to", "value").orderBy(
+        "user_id", "valid_from"
+    )
+
+
 @query(
     "statcan_vector_timeseries",
     oracle=f"""

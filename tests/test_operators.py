@@ -161,3 +161,52 @@ def test_simhash_identical_docs_collide_all_bands(spark):
     assert len(rows[1]["simhash"]) == 16
     pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_candidate_pairs(sig).collect()}
     assert (1, 2) in pairs
+
+
+def test_upsert_insert_update_keep(spark):
+    from statcan_etl_pipeline_spark.operators.incremental import upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = {(r["k"], r["v"]) for r in upsert(base, updates, ["k"]).collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_upsert_tiebreak_among_updates(spark):
+    from statcan_etl_pipeline_spark.operators.incremental import upsert
+
+    base = spark.createDataFrame([(1, "a", 0)], "k long, v string, ver long")
+    updates = spark.createDataFrame(
+        [(1, "u1", 1), (1, "u2", 2)], "k long, v string, ver long"
+    )
+    out = upsert(base, updates, ["k"], order_col="ver").collect()
+    assert len(out) == 1 and out[0]["v"] == "u2"
+
+
+def test_scd2_ranges_chain(spark):
+    from statcan_etl_pipeline_spark.operators.incremental import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-05", 20.0), (2, "2024-02-01", 5.0)],
+        "k long, d string, v double",
+    )
+    out = {(r["k"], r["valid_from"], r["valid_to"]) for r in
+           scd2_history(df, ["k"], "d").collect()}
+    assert out == {
+        (1, "2024-01-01", "2024-01-05"),
+        (1, "2024-01-05", "9999-12-31"),
+        (2, "2024-02-01", "9999-12-31"),
+    }
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"), (F.col("id") * 10).alias("score")
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "score")
+    salted = salted_join(ev, dim, "user_id", salt=4).select("event_id", "score")
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}

@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the scale properties we claim must be
+visible in the plans Catalyst actually produces."""
+
+from __future__ import annotations
+
+from statcan_etl_pipeline_spark.registry import QUERIES
+
+
+def _plan(spark, name, sf_dir) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_small):
+    plan = _plan(spark, "q1_pricing_summary", sf_small)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_small):
+    plan = _plan(spark, "q1_pricing_summary", sf_small)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("l_orderkey" not in ln for ln in read)  # unused col not read
+
+
+def test_q5_dim_joins_are_broadcast(spark, sf_small):
+    plan = _plan(spark, "q5_local_supplier_volume", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_small):
+    plan = _plan(spark, "topk_customers_by_revenue", sf_small)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    plan = _plan(spark, "q1_pricing_summary", sf_small)
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_shingle_join_no_cartesian(spark, sf_small):
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_single_agg_shuffle(spark, sf_small):
+    plan = _plan(spark, "dedup_minhash_lsh", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_window_not_inequality_join(spark, sf_small):
+    plan = _plan(spark, "asof_join_purchase_to_view", sf_small)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
