@@ -316,6 +316,51 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q2-shaped: argmax per group — dominant supplier per part in one region
+# ---------------------------------------------------------------------------
+@query(
+    "q2_top_supplier_per_part",
+    oracle=f"""
+WITH vol AS (
+  SELECT l_partkey, l_suppkey, {MS("l_quantity")} AS qty
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, qty,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY qty DESC, l_suppkey) AS rn
+  FROM vol
+)
+SELECT l_partkey, l_suppkey AS top_suppkey, qty
+FROM ranked WHERE rn = 1
+ORDER BY l_partkey
+""",
+)
+def q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(money_sum("l_quantity").alias("qty"))
+    )
+    w = W.partitionBy("l_partkey").orderBy(F.desc("qty"), F.asc("l_suppkey"))
+    return (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", F.col("l_suppkey").alias("top_suppkey"), "qty")
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON extraction from the events props column
 # ---------------------------------------------------------------------------
 @query(

@@ -1,0 +1,42 @@
+"""Error bounds for the approximate aggregates vs exact answers."""
+
+from __future__ import annotations
+
+from statcan_etl_pipeline_spark.registry import QUERIES
+
+
+def test_approx_distinct_within_rsd(spark, sf_med):
+    import pyspark.sql.functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
+        for r in QUERIES["approx_distinct_parts_by_flag"](spark, sf_med).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p"], r["o"])
+        for r in load_table(spark, sf_med, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o"))
+        .collect()
+    }
+    for flag, (ap, ao) in approx.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) / ep < 0.10, (flag, ap, ep)
+        assert abs(ao - eo) / eo < 0.10, (flag, ao, eo)
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_med):
+    approx = {
+        r["c_mktsegment"]: (r["p50_approx"], r["p90_approx"])
+        for r in QUERIES["approx_quantiles_order_value"](spark, sf_med).collect()
+    }
+    exact = {
+        r["c_mktsegment"]: (r["p50"], r["p90"])
+        for r in QUERIES["percentiles_order_value"](spark, sf_med).collect()
+    }
+    for seg, (a50, a90) in approx.items():
+        e50, e90 = exact[seg]
+        assert abs(a50 - e50) / e50 < 0.02, (seg, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.02, (seg, a90, e90)

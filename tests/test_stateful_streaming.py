@@ -1,0 +1,67 @@
+"""applyInPandasWithState: state must accumulate ACROSS micro-batches
+and converge to the batch-mode answer."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+from pyspark.sql import functions as F
+
+from statcan_etl_pipeline_spark.catalog import load_table, table_path
+from statcan_etl_pipeline_spark.streaming.stateful import stateful_user_totals
+
+
+def _two_batch_dir(sf_dir: str) -> str:
+    """Split events into two parquet files → two micro-batches
+    (maxFilesPerTrigger=1)."""
+    d = tempfile.mkdtemp(prefix="events_2batch_")
+    src = table_path(sf_dir, "events")
+    duckdb.sql(
+        f"COPY (SELECT user_id, value FROM '{src}' WHERE event_id % 2 = 0) "
+        f"TO '{os.path.join(d, 'a.parquet')}' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT user_id, value FROM '{src}' WHERE event_id % 2 = 1) "
+        f"TO '{os.path.join(d, 'b.parquet')}' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_stateful_totals_accumulate_across_batches(spark, sf_small):
+    d = _two_batch_dir(sf_small)
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per batch; the LAST emission per
+    # user is the cumulative total → dedupe by max n_events
+    out = (
+        spark.table("stateful_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r["user_id"], r["n_events"]) for r in batch.collect()}
+    assert got == want
+
+    # at least one user must have been emitted in BOTH batches with
+    # increasing counts — proof state crossed the batch boundary
+    emissions = spark.table("stateful_totals").groupBy("user_id").count()
+    assert emissions.filter(F.col("count") >= 2).count() > 0
