@@ -91,6 +91,83 @@ def lsh_bucket(emb_col: str) -> F.Column:
     return F.concat(*bits)
 
 
+def _centroids(n_cells: int = 8, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (md5-derived).
+    Production IVF would k-means these; deterministic seeds keep the
+    demo reproducible with the same Spark-side plumbing."""
+    cells = []
+    for c in range(n_cells):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"centroid:{c}:{i}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(1 << 32) - 0.5)
+        cells.append(row)
+    return cells
+
+
+def _cell_scores(emb_col: str):
+    """Dot product against every centroid (codegen'd, no Python)."""
+    scores = []
+    for row in _centroids():
+        cen = F.array(*[F.lit(v) for v in row])
+        scores.append(
+            F.aggregate(
+                F.zip_with(F.col(emb_col), cen, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return scores
+
+
+def assign_cells(df, emb_col: str, nprobe: int = 1):
+    """Add `cells`: indices (0-based) of the nprobe highest-dot
+    centroids — argmax via array_position (first match = deterministic
+    tie-break)."""
+    df = df.withColumn("_s", F.array(*_cell_scores(emb_col)))
+    best1 = (F.array_position(F.col("_s"), F.array_max("_s")) - 1).cast("int")
+    df = df.withColumn("_c1", best1)
+    if nprobe == 1:
+        return df.withColumn("cells", F.array(F.col("_c1"))).drop("_s", "_c1")
+    masked = F.transform(
+        F.col("_s"),
+        lambda x, i: F.when(i == F.col("_c1"), F.lit(-1e300)).otherwise(x),
+    )
+    best2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
+    return df.withColumn("cells", F.array(F.col("_c1"), best2)).drop("_s", "_c1")
+
+
+@query("ann_ivf_cosine")  # rows-only: IVF cells aren't SQL-oracle-expressible cheaply
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's nprobe=2
+    coarse cells; vectors carry a single best cell. At scale the
+    inverted lists are the partitioning: shuffle once on cell id,
+    search within cells only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = assign_cells(emb, "embedding", nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    q = assign_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), "embedding", nprobe=2
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.explode("cells").alias("cell"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine", "cell")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query("ann_lsh_cosine")  # rows-only: LSH bucketing isn't SQL-oracle-expressible cheaply
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(

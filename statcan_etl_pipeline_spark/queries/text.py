@@ -89,6 +89,40 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish sub-word regex count
+# (letters runs / digit runs / single punctuation — the pre-tokenizer
+# split GPT-style BPE vocabularies assume) + a chars/4 heuristic.
+# ---------------------------------------------------------------------------
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL})
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpeish_tokens,
+       CAST(floor(length(text) / 4.0) AS BIGINT) AS chars_div4
+FROM base
+ORDER BY doc_id
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("ws_tokens"),
+        # NB: F.lit keeps the backslash intact — a Spark SQL '...' literal
+        # would swallow the \s escape (DuckDB literals don't)
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpeish_tokens"),
+        F.floor(F.length("text") / F.lit(4.0)).cast("long").alias("chars_div4"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Composite quality score (rational sigmoid)
 # ---------------------------------------------------------------------------
 @query(

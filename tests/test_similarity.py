@@ -29,3 +29,20 @@ def test_ann_ranks_are_dense_and_ordered(spark, sf_small):
         assert cosines == sorted(cosines, reverse=True)
         # all candidates share the query's bucket
         assert len({r["bucket"] for r in rows}) == 1
+
+
+def test_ivf_results_structurally_sound(spark, sf_small):
+    ann = QUERIES["ann_ivf_cosine"](spark, sf_small).collect()
+    assert len(ann) > 0
+    brute = QUERIES["knn_bruteforce_cosine"](spark, sf_small).collect()
+    brute_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_cos:
+            assert r["cosine"] == brute_cos[key]
+    # each query returns at most TOP_K per probed arrangement and ranks are dense
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
