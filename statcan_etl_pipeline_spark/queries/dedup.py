@@ -146,6 +146,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup GROUPS: connected components over minhash candidate pairs
+# (iterative — rows-only for the driver; python union-find cross-check
+# in tests/test_components.py)
+# ---------------------------------------------------------------------------
+@query("dedup_connected_groups")
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    shingled = exploded_shingles(docs)
+    sig = minhash_signature(shingled, N_HASHES)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("group_rep")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash signatures + bands (char 5-gram shingles)
 # ---------------------------------------------------------------------------
 _SIMHASH_SHINGLE_CTE = f"""
