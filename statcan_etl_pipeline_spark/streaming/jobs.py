@@ -51,6 +51,37 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def purchases_after_views_join(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user views
+    in the preceding hour. Watermarks on BOTH sides + the time-range
+    predicate bound the join state (without them, stream-stream joins
+    buffer forever)."""
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+
+
 def run_available_now(df: DataFrame, query_name: str) -> None:
     """Drain the whole source as a finite stream into an in-memory table
     named `query_name` (complete output mode), blocking until done."""

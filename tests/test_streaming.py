@@ -77,3 +77,41 @@ def test_session_window_matches_batch_sessionize(spark, sf_small):
     got = {tuple(r) for r in stream_sessions.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_small):
+    from statcan_etl_pipeline_spark.streaming.jobs import purchases_after_views_join
+
+    stream = _normalized_stream(spark, sf_small)
+    q = (
+        purchases_after_views_join(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("ss_join").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        tuple(r)
+        for r in purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") < F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
