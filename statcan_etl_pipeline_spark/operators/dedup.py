@@ -52,6 +52,32 @@ def minhash_signature(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFram
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signature_arrays(
+    docs: DataFrame, shingles_col: str = "shingles", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Shuffle-free minhash: min over a multiset equals min over the
+    set, so the signature is computable per row with
+    array_min(transform(...)) — no explode, no groupBy.
+
+    MEASURED CAVEAT (sf0.1): this is ~3x SLOWER than
+    explode + partial-agg `minhash_signature` despite saving a shuffle —
+    higher-order-function lambdas are interpreted (outside whole-stage
+    codegen) and materialize n_hashes arrays per row, while the exploded
+    form runs codegen'd md5 over flat rows with map-side partial min.
+    Kept as the no-shuffle option for shuffle-constrained clusters;
+    default paths use the exploded form."""
+    cols = [F.col("doc_id")]
+    for k in range(n_hashes):
+        seed, chunk = divmod(k, 4)
+        cols.append(
+            F.expr(
+                f"array_min(transform({shingles_col}, "
+                f"s -> substr(md5('{seed}:' || s), {1 + 8 * chunk}, 8)))"
+            ).alias(f"mh_{k}")
+        )
+    return docs.select(*cols)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:

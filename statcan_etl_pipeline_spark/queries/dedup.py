@@ -30,6 +30,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
+    minhash_signature_arrays,
 )
 from ..operators.simhash import simhash_oracle_sql, simhash_signatures
 from ..registry import query
@@ -140,6 +141,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm", norm_text("text"))
         .withColumn("shingles", char_shingles("norm", 5))
     )
+    # explode + partial-agg min: measured ~3x faster than the
+    # "shuffle-free" array formulation (see minhash_signature_arrays)
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
     return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS).orderBy("doc_a", "doc_b")
