@@ -71,6 +71,49 @@ def fake_decode_features(df: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, payload binary, n_bytes bigint"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def fake_resize(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' stub: deterministic byte truncation standing in for an
+    image resize; real impl swaps the lambda for PIL.Image.resize. The
+    Spark-side shape (Arrow batches in, binary column out) is real."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+def fake_frame_sample(df: DataFrame, stride: int = 16, max_frames: int = 4) -> DataFrame:
+    """'Frame sampling' stub: every `stride`-th byte window stands in
+    for video frame extraction (one output row per frame — the real
+    ffmpeg-based version has the same fan-out shape)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(len(payload) // stride, 1))):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(bytes(payload[i * stride : (i + 1) * stride]))
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
 def real_decode_image(df: DataFrame) -> DataFrame:
     """Placeholder for a real image decoder (PIL not available here)."""
     raise NotImplementedError(

@@ -466,6 +466,59 @@ def array_hof_user_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable variance/stddev: engines' stddev_samp implementations
+# (Welford vs sum-of-squares) produce different float noise, so compute
+# variance from EXACT integer fixed-point sums: n·Σx² − (Σx)² over
+# n(n−1). Σx in cents, Σx² in cents²·1e-2 stays < 2^63 at these scales.
+# ---------------------------------------------------------------------------
+@query(
+    "variance_order_value",
+    oracle=f"""
+WITH c AS (
+  SELECT c_mktsegment, {R("o_totalprice")} AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), s AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         CAST(sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(v * v * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+  FROM c GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       {R("((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 100.0) - (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))", 2)} AS variance,
+       {R("sqrt((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 100.0) - (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))", 2)} AS stddev
+FROM s
+ORDER BY c_mktsegment
+""",
+)
+def variance_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    v = pround("o_totalprice")
+    sx_term = F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long")
+    sxx_term = F.floor(v * v * F.lit(100.0) + F.lit(0.5)).cast("long")
+    s = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(sx_term).cast("long").alias("sx"),
+            F.sum(sxx_term).cast("long").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(100.0)
+    sxxd = F.col("sxx").cast("double") / F.lit(100.0)
+    var = (nd * sxxd - sxd * sxd) / (nd * (nd - F.lit(1.0)))
+    return s.select(
+        "c_mktsegment",
+        "n",
+        pround(var, 2).alias("variance"),
+        pround(F.sqrt(var), 2).alias("stddev"),
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS via the SQL API — the fragment is engine-portable, so the
 # Spark query text IS the oracle text.
 # ---------------------------------------------------------------------------

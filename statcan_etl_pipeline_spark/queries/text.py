@@ -24,8 +24,10 @@ from ..functions.text import (
     sql_norm_text,
     sql_stopword_hits,
     sql_tokens,
+    sql_word_shingles,
     stopword_hits,
     tokens,
+    word_shingles,
 )
 from ..registry import query
 
@@ -221,6 +223,131 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
     )
     return hits.withColumn("guess", guess).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio: 1 - distinct/total word 3-grams (template/spam signal)
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+sh AS (
+  SELECT doc_id, {sql_word_shingles("toks", 3)} AS sh FROM base
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS total_3grams,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS distinct_3grams,
+       CASE WHEN len(sh) > 0
+            THEN 1.0 - (CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE))
+            ELSE 0.0 END AS repetition_ratio
+FROM sh
+ORDER BY doc_id
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir).withColumn("sh", word_shingles("toks", 3))
+    total = F.size("sh").cast("long")
+    distinct = F.size(F.array_distinct("sh")).cast("long")
+    ratio = F.when(
+        total > 0, F.lit(1.0) - (distinct.cast("double") / total.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        total.alias("total_3grams"),
+        distinct.alias("distinct_3grams"),
+        ratio.alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level: top-40 words (explode → count → deterministic top-k)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_top_words",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+words AS (SELECT unnest(toks) AS word FROM base)
+SELECT word, count(*) AS n
+FROM words
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 40
+""",
+)
+def corpus_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    return (
+        base.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (linear idf = N/df: pure integer-ratio arithmetic — portable,
+# unlike ln() whose libm vs JVM results can differ by 1 ulp): top-3
+# scoring terms per document.
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, unnest(toks) AS word FROM base
+), tfc AS (
+  SELECT doc_id, word, count(*) AS tf FROM tf GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tfc GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tfc.word AS word,
+         (CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))) AS tfidf
+  FROM tfc, df, n WHERE tfc.word = df.word
+), ranked AS (
+  SELECT doc_id, word, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rn FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = _doc_base(spark, sf_dir)
+    tfc = (
+        base.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = _docs_count(spark, sf_dir)
+    scored = tfc.join(dfc, "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+def _docs_count(spark: SparkSession, sf_dir: str) -> int:
+    return load_table(spark, sf_dir, "documents").count()
 
 
 # ---------------------------------------------------------------------------

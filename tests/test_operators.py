@@ -210,3 +210,26 @@ def test_salted_join_equals_plain_join(spark, sf_small):
     plain = ev.join(dim, "user_id").select("event_id", "score")
     salted = salted_join(ev, dim, "user_id", salt=4).select("event_id", "score")
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from statcan_etl_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_frame_sample,
+        fake_resize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 200), (2, "short")], "doc_id long, text string"
+    )
+    payloads = attach_binary_payload(docs)
+    resized = {r["doc_id"]: r for r in fake_resize(payloads, target_bytes=64).collect()}
+    assert resized[1]["n_bytes"] == 64 and resized[2]["n_bytes"] == 5
+
+    frames = fake_frame_sample(payloads, stride=16, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4  # 200 bytes / 16 stride capped at 4 frames
+    assert len(by_doc[2]) == 1  # short payload → 1 frame
+    assert bytes(by_doc[1][0]["frame"]) == b"x" * 16
