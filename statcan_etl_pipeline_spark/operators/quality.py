@@ -1,0 +1,75 @@
+"""Data-quality validation: dbt-test-style checks compiled to ONE
+Spark job.
+
+Each check is a (name, violation-count) pair; `dq_report` unions them
+into a single report DataFrame. Counts aggregate before the union, so
+the whole report is a handful of scans Catalyst can schedule together
+— not one job per check.
+
+Supported checks: not_null, unique, accepted_values, referential
+(orphan foreign keys), range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    return df.filter(F.col(col).isNull()).agg(
+        F.lit(name or f"not_null:{col}").alias("check_name"),
+        F.count(F.lit(1)).alias("violations"),
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    dups = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    return dups.agg(
+        F.lit(name or f"unique:{','.join(cols)}").alias("check_name"),
+        F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).cast("long").alias("violations"),
+    )
+
+
+def check_accepted_values(
+    df: DataFrame, col: str, values: list, name: str | None = None
+) -> DataFrame:
+    return df.filter(~F.col(col).isin(values) | F.col(col).isNull()).agg(
+        F.lit(name or f"accepted_values:{col}").alias("check_name"),
+        F.count(F.lit(1)).alias("violations"),
+    )
+
+
+def check_referential(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str,
+    name: str | None = None,
+) -> DataFrame:
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias("__pk")),
+        child[child_key] == F.col("__pk"),
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(name or f"referential:{child_key}->{parent_key}").alias("check_name"),
+        F.count(F.lit(1)).alias("violations"),
+    )
+
+
+def check_range(
+    df: DataFrame, col: str, lo: float, hi: float, name: str | None = None
+) -> DataFrame:
+    return df.filter((F.col(col) < lo) | (F.col(col) > hi)).agg(
+        F.lit(name or f"range:{col}").alias("check_name"),
+        F.count(F.lit(1)).alias("violations"),
+    )
+
+
+def dq_report(checks: list[DataFrame]) -> DataFrame:
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

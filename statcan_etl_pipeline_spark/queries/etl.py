@@ -193,6 +193,133 @@ def statcan_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality validation report (dbt-test style, one unioned job)
+# ---------------------------------------------------------------------------
+@query(
+    "dq_validation_report",
+    oracle="""
+SELECT 'accepted_values:o_orderstatus' AS check_name,
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('F', 'O', 'P') OR o_orderstatus IS NULL) AS violations
+UNION ALL
+SELECT 'not_null:o_custkey',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'range:l_discount',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.5)
+UNION ALL
+SELECT 'referential:l_orderkey->o_orderkey',
+       (SELECT count(*) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+UNION ALL
+SELECT 'referential:o_custkey->c_custkey',
+       (SELECT count(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+UNION ALL
+SELECT 'unique:o_orderkey',
+       (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
+         (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+ORDER BY check_name
+""",
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_range,
+        check_referential,
+        check_unique,
+        dq_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    return dq_report(
+        [
+            check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"]),
+            check_not_null(orders, "o_custkey"),
+            check_range(li, "l_discount", 0.0, 0.5),
+            check_referential(li, "l_orderkey", orders, "o_orderkey"),
+            check_referential(orders, "o_custkey", cust, "c_custkey"),
+            check_unique(orders, ["o_orderkey"]),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill over a month spine (StatCan series are published with
+# holes; downstream consumers need a dense series with carried values)
+# ---------------------------------------------------------------------------
+@query(
+    "statcan_locf_gapfill",
+    oracle=f"""
+WITH series AS (
+  SELECT 'v' || CAST(n_nationkey AS VARCHAR) AS vector,
+         time_bucket(INTERVAL 1 MONTH, o_orderdate) AS m,
+         {MS("o_totalprice")} AS value
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY vector, m
+), bounds AS (
+  SELECT vector, min(m) AS lo, max(m) AS hi FROM series GROUP BY vector
+), spine AS (
+  SELECT vector, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds
+), joined AS (
+  SELECT spine.vector, spine.m, series.value
+  FROM spine LEFT JOIN series ON spine.vector = series.vector AND spine.m = series.m
+)
+SELECT vector, strftime(m, '%Y-%m') AS ref_month,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY vector ORDER BY m
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (value IS NULL) AS filled
+FROM joined
+ORDER BY vector, ref_month
+""",
+)
+def statcan_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    series = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.concat(F.lit("v"), F.col("n_nationkey").cast("string")).alias("vector"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(money_sum("o_totalprice").alias("value"))
+    )
+    spine = (
+        series.groupBy("vector")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .select(
+            "vector",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+            ).alias("m"),
+        )
+    )
+    joined = spine.join(series, ["vector", "m"], "left")
+    w = (
+        W.partitionBy("vector")
+        .orderBy("m")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "vector",
+        F.date_format("m", "yyyy-MM").alias("ref_month"),
+        F.last("value", ignorenulls=True).over(w).alias("value"),
+        F.col("value").isNull().alias("filled"),
+    ).orderBy("vector", "ref_month")
+
+
 @query(
     "statcan_pct_change_yoy",
     oracle=f"""
