@@ -156,6 +156,83 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Funnel: view → click-after-view → purchase-after-click conversion
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width value buckets
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_order_values",
+    oracle=f"""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       {MS("o_totalprice")} AS total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tumbling 1-hour window aggregation (batch parity of the streaming job)
 # ---------------------------------------------------------------------------
 @query(
