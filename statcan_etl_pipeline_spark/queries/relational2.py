@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.portable import (
+    cents,
     money_avg,
     money_sum,
     pround,
+    sql_cents as C,
     sql_money_avg as MA,
     sql_money_sum as MS,
     sql_round as R,
@@ -462,6 +464,46 @@ def array_hof_user_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(types).cast("long").alias("n_types"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame: trailing 7 CALENDAR days (not 7 rows) of revenue
+# ---------------------------------------------------------------------------
+@query(
+    "window_range_7day_revenue",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS day_num,
+         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         {MS("o_totalprice")} AS revenue
+  FROM orders GROUP BY day_num, d
+)
+SELECT d, revenue,
+       (CAST(sum({C("revenue")}) OVER (
+          ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0)
+         AS trailing_7d
+FROM daily
+ORDER BY d
+""",
+)
+def window_range_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frame over day numbers: calendar-aware trailing sum that is
+    # correct across gaps in the date series (a ROWS frame is not).
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0))
+        .cast("long")
+        .alias("day_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "trailing_7d", F.sum(cents("revenue")).over(w) / F.lit(100.0)
+        )
+        .select("d", "revenue", "trailing_7d")
+        .orderBy("d")
     )
 
 
