@@ -419,6 +419,72 @@ def window_navigation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scalar string-function coverage (portable subset)
+# ---------------------------------------------------------------------------
+@query(
+    "string_functions_demo",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                          AS uname,
+       reverse(p_name)                        AS rname,
+       lpad(p_brand, 12, '.')                 AS padded,
+       replace(p_name, ' ', '_')              AS snake,
+       split_part(p_name, ' ', 1)             AS first_word,
+       CAST(length(p_name) AS BIGINT)         AS name_len,
+       substr(p_name, 2, 3)                   AS mid,
+       concat(p_brand, '/', p_type)           AS brand_type
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+""",
+)
+def string_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.reverse(F.col("p_name")).alias("rname"),
+            F.lpad("p_brand", 12, ".").alias("padded"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_name", 2, 3).alias("mid"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-part extraction (portable subset: year/quarter/month/day)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_by_quarter",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT)    AS y,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       count(*) AS n,
+       {MS("o_totalprice")} AS revenue
+FROM orders
+GROUP BY y, q
+ORDER BY y, q
+""",
+)
+def orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("revenue"))
+        .orderBy("y", "q")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy string match: levenshtein distance to a probe name
 # ---------------------------------------------------------------------------
 @query(
