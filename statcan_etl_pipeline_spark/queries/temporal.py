@@ -156,6 +156,68 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding (hopping) window: 1-hour windows every 15 minutes — each event
+# lands in 4 overlapping windows. Oracle reproduces Spark's epoch-aligned
+# hopping semantics by fanning each event to its 4 window starts.
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_1h_15m",
+    oracle=f"""
+WITH fanned AS (
+  SELECT e.*, time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS w_start
+  FROM events e, (SELECT unnest(range(0, 4)) AS k) k
+  WHERE ts >= time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+    AND ts <  time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE + INTERVAL 1 HOUR
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       {MS("value")} AS total_value
+FROM fanned
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@query(
+    "setops_active_users",
+    oracle="""
+SELECT user_id FROM
+  ((SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+   INTERSECT
+   (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+   EXCEPT
+   (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'))
+ORDER BY user_id
+""",
+)
+def setops_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    return (
+        users("purchase").intersect(users("view")).exceptAll(users("error")).orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Funnel: view → click-after-view → purchase-after-click conversion
 # ---------------------------------------------------------------------------
 @query(
