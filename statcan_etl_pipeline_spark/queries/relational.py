@@ -493,16 +493,28 @@ def agg_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    return (
+    # Pre-aggregate at the (nation, year) leaf, then roll up plain sums:
+    # every order maps to exactly ONE leaf (one customer → one nation;
+    # one orderdate → one year), so distinct counts are additive and the
+    # rollup's Expand runs over ~|nations×years| rows instead of the raw
+    # join (measured 2.7× at sf0.1). Revenue stays exact integer cents
+    # until the final division.
+    leaf = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .withColumn("rev", _revenue())
-        .rollup("n_name", "o_year")
+        .groupBy("n_name", "o_year")
         .agg(
-            money_sum("rev").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(cents(_revenue())).alias("rev_c"),
+            F.countDistinct("o_orderkey").alias("n_o"),
+        )
+    )
+    return (
+        leaf.rollup("n_name", "o_year")
+        .agg(
+            (F.sum("rev_c") / F.lit(100.0)).alias("revenue"),
+            F.sum("n_o").alias("n_orders"),
         )
         .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("o_year"))
     )
