@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scatter
 from ..functions.portable import pround, sql_round as R
 from ..functions.text import (
     char_shingles,
@@ -41,7 +41,8 @@ COS_TAU = 0.4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # scatter before the md5/shingle work so it runs wide (5.7× at sf0.1)
+    return scatter(spark, load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +212,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Brute-force O(n²) — correct baseline and the oracle target. At
     # scale, generate candidates with random-hyperplane LSH
     # (similarity.ann_lsh_cosine) and verify only within buckets.
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (

@@ -17,7 +17,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scatter
 from ..functions.portable import pround, sql_round as R
 from ..functions.vectors import cosine, sql_cosine
 from ..registry import query
@@ -48,7 +48,8 @@ ORDER BY query_id, rank
 """,
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scatter so the per-pair fixed-point dot products run wide
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
     )
@@ -143,7 +144,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cells; vectors carry a single best cell. At scale the
     inverted lists are the partitioning: shuffle once on cell id,
     search within cells only."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     cand = assign_cells(emb, "embedding", nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_c"),
@@ -170,7 +171,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_cosine")  # rows-only: LSH bucketing isn't SQL-oracle-expressible cheaply
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scatter
 from ..functions.portable import pround, sql_round as R
 from ..functions.text import (
     STOPWORDS,
@@ -42,8 +42,9 @@ _DOC_BASE_SQL = f"""
 
 
 def _doc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scatter before the regex/tokenize work so it runs wide
     return (
-        load_table(spark, sf_dir, "documents")
+        scatter(spark, load_table(spark, sf_dir, "documents"))
         .withColumn("norm", norm_text("text"))
         .withColumn("toks", tokens("norm"))
     )
