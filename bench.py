@@ -31,6 +31,10 @@ HEADLINE = [
     "text_quality_score",
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
+    "asof_join_purchase_to_view",
+    "dedup_ngram_jaccard",
+    "tfidf_top_terms",
+    "dq_validation_report",
 ]
 
 

@@ -1,0 +1,55 @@
+"""Reusable DataFrame→DataFrame operators (the engine's public library)."""
+
+from .components import connected_components
+from .dedup import (
+    exploded_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    minhash_signature_arrays,
+)
+from .incremental import scd2_history, upsert
+from .joins import salted_join
+from .multimodal import (
+    attach_binary_payload,
+    fake_decode_features,
+    fake_frame_sample,
+    fake_resize,
+)
+from .quality import (
+    check_accepted_values,
+    check_not_null,
+    check_range,
+    check_referential,
+    check_unique,
+    dq_report,
+)
+from .simhash import simhash_candidate_pairs, simhash_signatures
+from .temporal import asof_join_backward, sessionize, tumbling_window
+
+__all__ = [
+    "asof_join_backward",
+    "attach_binary_payload",
+    "check_accepted_values",
+    "check_not_null",
+    "check_range",
+    "check_referential",
+    "check_unique",
+    "connected_components",
+    "dq_report",
+    "exploded_shingles",
+    "fake_decode_features",
+    "fake_frame_sample",
+    "fake_resize",
+    "jaccard_pairs",
+    "lsh_candidate_pairs",
+    "minhash_signature",
+    "minhash_signature_arrays",
+    "salted_join",
+    "scd2_history",
+    "sessionize",
+    "simhash_candidate_pairs",
+    "simhash_signatures",
+    "tumbling_window",
+    "upsert",
+]
