@@ -283,6 +283,84 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q20-shaped: suppliers whose shipped quantity of matching parts exceeds
+# half that part's total shipped quantity (nested aggregate + semijoin)
+# ---------------------------------------------------------------------------
+@query(
+    "q20_dominant_suppliers",
+    oracle=f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, {MS("l_quantity")} AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey AS pk, {MS("l_quantity")} AS total_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY pk
+)
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+FROM per_ps
+JOIN per_p ON pk = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty > 0.5 * total_qty
+GROUP BY s_suppkey, s_name
+ORDER BY n_dominated_parts DESC, s_suppkey
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    red = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_ps = red.groupBy("l_partkey", "l_suppkey").agg(money_sum("l_quantity").alias("qty"))
+    per_p = red.groupBy(F.col("l_partkey").alias("pk")).agg(
+        money_sum("l_quantity").alias("total_qty")
+    )
+    return (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users active in the first week still active in week 4
+# ---------------------------------------------------------------------------
+@query(
+    "events_week4_retention",
+    oracle="""
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-08'
+), w4 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+)
+SELECT (SELECT count(*) FROM w1) AS cohort,
+       (SELECT count(*) FROM w1 WHERE user_id IN (SELECT user_id FROM w4)) AS retained
+""",
+)
+def events_week4_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w1 = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp")).select(
+        "user_id"
+    ).distinct()
+    w4 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-29").cast("timestamp"))
+    ).select("user_id").distinct()
+    retained = w1.join(w4, "user_id", "left_semi")
+    return w1.agg(F.count(F.lit(1)).alias("cohort")).crossJoin(
+        retained.agg(F.count(F.lit(1)).alias("retained"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q22-shaped: wealthy inactive customers by pseudo country code
 # ---------------------------------------------------------------------------
 @query(
