@@ -15,6 +15,8 @@ nothing beyond the DataFrame API.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,11 @@ def connected_components(
 
     `vertices`: one column `vertex_col`; `edges`: (src_col, dst_col).
     Isolated vertices keep their own id as component.
+
+    Warns (RuntimeWarning) if `max_iter` is reached while labels are
+    still changing — i.e. a component's diameter exceeds `max_iter` and
+    the returned labels are not a fixpoint. Raise `max_iter` or switch
+    to a large-star/small-star formulation for deep graphs.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -40,6 +47,7 @@ def connected_components(
     labels = vertices.select(
         F.col(vertex_col).alias("vertex"), F.col(vertex_col).alias("component")
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.vertex)
@@ -65,4 +73,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); results are not a fixpoint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

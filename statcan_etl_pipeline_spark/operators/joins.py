@@ -22,7 +22,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join big⋈small on `key` with `salt`-way salting.
-    Result columns = big's columns + small's non-key columns."""
+    Result columns = big's columns + small's non-key columns.
+
+    Only `inner` and `left` joins are supported: the small side is
+    exploded into `salt` replicas, so a right/full outer join would
+    emit each unmatched small-side row once per replica.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the small side is replicated salt times, so right/full outer "
+            "would duplicate unmatched small-side rows"
+        )
     big_salted = big.withColumn(
         "__salt_b", (F.abs(F.hash(F.monotonically_increasing_id())) % salt).cast("int")
     )

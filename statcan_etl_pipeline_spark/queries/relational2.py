@@ -655,7 +655,10 @@ def window_range_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable variance/stddev: engines' stddev_samp implementations
 # (Welford vs sum-of-squares) produce different float noise, so compute
 # variance from EXACT integer fixed-point sums: n·Σx² − (Σx)² over
-# n(n−1). Σx in cents, Σx² in cents²·1e-2 stays < 2^63 at these scales.
+# n(n−1). Σx in cents (<2^63 to sf~1e4); Σx² in whole units² so the
+# per-segment sum stays ~9e16 at sf1 — two orders of magnitude of
+# headroom below 2^63 (cents²·1e-2 would hit 2^63 near sf1). Both
+# engines sum the SAME integers, so the parity is exact by construction.
 # ---------------------------------------------------------------------------
 @query(
     "variance_order_value",
@@ -667,12 +670,12 @@ WITH c AS (
   SELECT c_mktsegment,
          count(*) AS n,
          CAST(sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
-         CAST(sum(CAST(floor(v * v * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+         CAST(sum(CAST(floor(v * v + 0.5) AS BIGINT)) AS BIGINT) AS sxx
   FROM c GROUP BY c_mktsegment
 )
 SELECT c_mktsegment, n,
-       {R("((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 100.0) - (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))", 2)} AS variance,
-       {R("sqrt((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 100.0) - (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))", 2)} AS stddev
+       {R("((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))", 2)} AS variance,
+       {R("sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))", 2)} AS stddev
 FROM s
 ORDER BY c_mktsegment
 """,
@@ -682,7 +685,7 @@ def variance_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     v = pround("o_totalprice")
     sx_term = F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long")
-    sxx_term = F.floor(v * v * F.lit(100.0) + F.lit(0.5)).cast("long")
+    sxx_term = F.floor(v * v + F.lit(0.5)).cast("long")
     s = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
@@ -694,7 +697,7 @@ def variance_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double") / F.lit(100.0)
-    sxxd = F.col("sxx").cast("double") / F.lit(100.0)
+    sxxd = F.col("sxx").cast("double")
     var = (nd * sxxd - sxd * sxd) / (nd * (nd - F.lit(1.0)))
     return s.select(
         "c_mktsegment",

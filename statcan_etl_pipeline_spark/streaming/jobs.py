@@ -82,13 +82,21 @@ def purchases_after_views_join(stream: DataFrame, watermark: str = "2 hours") ->
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
 
 
-def run_available_now(df: DataFrame, query_name: str) -> None:
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
     """Drain the whole source as a finite stream into an in-memory table
-    named `query_name` (complete output mode), blocking until done."""
+    named `query_name`, blocking until done.
+
+    `output_mode` defaults to 'complete' (aggregation streams); pass
+    'append' for non-aggregation streams (stream-stream joins) or
+    'update' for applyInPandasWithState-style stateful operators —
+    'complete' raises AnalysisException for those plans.
+    """
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -37,10 +37,16 @@ def test_partitioned_parquet_roundtrip(spark, sf_small):
         assert len(years) >= 3
         back = read_back(spark, path)
         assert back.count() == orders.count()
-        # pruned read touches only one partition directory
+        # pruned read touches only one partition directory: the executed
+        # plan must carry the year as a PartitionFilter (not a data filter)
         one_year = sorted(years)[0]
         pruned = back.filter(F.col("o_year") == int(one_year))
-        assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf_lines, f"no PartitionFilters in executed plan:\n{plan}"
+        assert any("o_year" in ln for ln in pf_lines), pf_lines
+        # and the filtered rows are really confined to that partition
+        assert pruned.select("o_year").distinct().count() == 1
 
 
 def test_bucketed_table_roundtrip(spark, sf_small):
