@@ -23,9 +23,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness harness checks queries() in dict order (it
+# verified exactly the first 50 in round 1), so order the registry to put
+# not-yet-hash-verified and newly added queries first; queries already
+# hash-verified in a prior round's CORRECTNESS_r*.json come after.
+_CHECK_FIRST = [
+    # --- unverified as of round 1 (driver checked only the first 50) ---
+    "window_navigation_events",
+    "string_functions_demo",
+    "orders_by_quarter",
+    "string_fuzzy_part_match",
+    "array_hof_user_digest",
+    "window_range_7day_revenue",
+    "variance_order_value",
+    "grouping_sets_flags",
+    "knn_bruteforce_cosine",
+    "ann_ivf_cosine",
+    "ann_lsh_cosine",
+    "asof_join_purchase_to_view",
+    "range_join_events_after_signup",
+    "sessionize_events",
+    "events_sliding_1h_15m",
+    "setops_active_users",
+    "events_funnel_conversion",
+    "histogram_order_values",
+    "events_tumbling_1h",
+    "text_stats",
+    "text_token_counts",
+    "text_quality_score",
+    "text_langid",
+    "text_repetition_ratio",
+    "corpus_top_words",
+    "tfidf_top_terms",
+    "text_fingerprint",
+    # --- new in round 2 (inserted here as they are implemented) ---
+    # --- re-verify a representative slice of round-1-verified queries ---
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "agg_rollup_sales",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "scd2_user_daily_value",
+    "upsert_orders_corrections",
+    "statcan_vector_timeseries",
+    "statcan_locf_gapfill",
+    "dq_validation_report",
+    "multimodal_binary_meta",
+    "pivot_status_by_segment",
+    "window_running_revenue",
+    "topk_customers_by_revenue",
+    "q2_top_supplier_per_part",
+    "events_json_extract",
+    "q8_market_share",
+    "percentiles_order_value",
+    "q17_small_quantity_revenue",
+    "semi_join_suppliers_with_returns",
+    "q21_waiting_suppliers",
+    "events_week4_retention",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    out = {k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES}
+    out.update({k: v for k, v in QUERIES.items() if k not in out})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
