@@ -57,6 +57,13 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "text_fingerprint",
     # --- new in round 2 (inserted here as they are implemented) ---
+    "q11_important_stock",
+    "corr_price_quantity",
+    "sample_hash_bucket",
+    "corpus_quality_filter",
+    "corpus_vocab_stats",
+    "embedding_norm_stats",
+    "multimodal_kind_catalog",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -1,0 +1,252 @@
+"""Relational coverage, batch 3 (round 2): the last TPC-H shape (Q21),
+a Q11-style fraction-of-global HAVING, a portable Pearson correlation,
+and deterministic hash-bucket sampling.
+
+Parity notes (see functions/portable.py):
+- Q21 "late" is a timestamp + INTERVAL comparison — exact on both
+  engines (no float involved).
+- Q11 compares integer cent sums cross-multiplied by the fraction
+  denominator, so the HAVING is exact integer arithmetic on both sides.
+- Correlation moments are integer fixed-point sums (variance pattern,
+  relational2.variance_order_value); the final double expression is
+  computed from identical integers on both engines, so IEEE ops make it
+  bit-identical. Σp² is stored in units²/100 to keep per-group sums
+  below 2^63 through sf≈1000 (6e9 rows × 1.1e8 ≈ 6.6e17).
+- Sampling uses md5 hex-prefix bucketing (substr(md5(key),1,1) = '0',
+  a deterministic 1/16 sample) — the same md5-as-string trick the
+  minhash operator uses, so no hex→int conversion is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import (
+    money_sum,
+    pround,
+    sql_money_sum as MS,
+    sql_round as R,
+)
+from ..registry import query
+
+REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped: suppliers who were the sole late shipper of a
+# multi-supplier order. The testdata has no commit/receipt dates, so
+# "late" is l_shipdate > o_orderdate + 60 days. Two-level aggregation:
+# per-order distinct-supplier / distinct-late-supplier counts, then the
+# late lineitem rows of qualifying orders rolled up per supplier.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH ol AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM ol GROUP BY l_orderkey
+), sole_late AS (
+  SELECT DISTINCT ol.l_orderkey, ol.l_suppkey
+  FROM ol JOIN per_order USING (l_orderkey)
+  WHERE ol.late AND per_order.n_supp > 1 AND per_order.n_late = 1
+)
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole_late
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ol = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = ol.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole_late = (
+        ol.filter("late")
+        .join(
+            per_order.filter("n_supp > 1 AND n_late = 1").select("l_orderkey"),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped: "important stock" — (nation, part) groups whose revenue
+# exceeds 1/20000 of the GLOBAL total (the testdata has no partsupp, so
+# lineitem revenue through the supplier's nation stands in for stock
+# value). The HAVING cross-multiplies integer cent sums — exact.
+# ---------------------------------------------------------------------------
+_Q11_FRAC = 20000
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+WITH v AS (
+  SELECT n_name, l_partkey,
+         CAST(sum(CAST(floor(({REV_SQL}) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS val_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+), g AS (SELECT CAST(sum(val_c) AS BIGINT) AS tot FROM v)
+SELECT n_name, l_partkey, (CAST(val_c AS BIGINT) / 100.0) AS stock_value
+FROM v, g
+WHERE val_c * {_Q11_FRAC} > tot
+ORDER BY stock_value DESC, n_name, l_partkey
+LIMIT 100
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            F.sum(F.floor(rev * F.lit(100.0) + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("val_c")
+        )
+    )
+    # scalar global total — one row, broadcast into the filter
+    g = v.agg(F.sum("val_c").cast("long").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(g))
+        .filter(F.col("val_c") * F.lit(_Q11_FRAC) > F.col("tot"))
+        .select(
+            "n_name",
+            "l_partkey",
+            (F.col("val_c") / F.lit(100.0)).alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "n_name", "l_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Pearson correlation (quantity vs extended price per
+# returnflag) from exact integer moment sums. corr()/covar_samp()
+# accumulate doubles in engine-specific order, so they are NOT
+# hash-stable across engines; this is.
+# Scales: Σq in centi-units, Σq² in units²·100, Σp in cents,
+# Σp² in units²/100 (headroom to sf≈1000), Σpq in units.
+# ---------------------------------------------------------------------------
+@query(
+    "corr_price_quantity",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(sum(CAST(floor(l_quantity * l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sqq,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sp,
+         CAST(sum(CAST(floor(l_extendedprice * l_extendedprice / 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spp,
+         CAST(sum(CAST(floor(l_extendedprice * l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS spq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {R("((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE) - (CAST(sp AS DOUBLE) / 100.0) * (CAST(sq AS DOUBLE) / 100.0)) / sqrt((CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) / 100.0) - (CAST(sq AS DOUBLE) / 100.0) * (CAST(sq AS DOUBLE) / 100.0)) * (CAST(n AS DOUBLE) * (CAST(spp AS DOUBLE) * 100.0) - (CAST(sp AS DOUBLE) / 100.0) * (CAST(sp AS DOUBLE) / 100.0))))", 6)} AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+""",
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(q * F.lit(100.0) + F.lit(0.5)).cast("long")).cast("long").alias("sq"),
+        F.sum(F.floor(q * q * F.lit(100.0) + F.lit(0.5)).cast("long")).cast("long").alias("sqq"),
+        F.sum(F.floor(p * F.lit(100.0) + F.lit(0.5)).cast("long")).cast("long").alias("sp"),
+        F.sum(F.floor(p * p / F.lit(100.0) + F.lit(0.5)).cast("long")).cast("long").alias("spp"),
+        F.sum(F.floor(p * q + F.lit(0.5)).cast("long")).cast("long").alias("spq"),
+    )
+    nd = F.col("n").cast("double")
+    sqd = F.col("sq").cast("double") / F.lit(100.0)
+    sqqd = F.col("sqq").cast("double") / F.lit(100.0)
+    spd = F.col("sp").cast("double") / F.lit(100.0)
+    sppd = F.col("spp").cast("double") * F.lit(100.0)
+    spqd = F.col("spq").cast("double")
+    r = (nd * spqd - spd * sqd) / F.sqrt(
+        (nd * sqqd - sqd * sqd) * (nd * sppd - spd * spd)
+    )
+    return m.select(
+        "l_returnflag", "n", pround(r, 6).alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-bucket sampling: a 1/16 sample of orders selected
+# by md5 hex prefix — reproducible across engines AND across cluster
+# sizes (unlike TABLESAMPLE / rand(seed), which are partition-count
+# dependent). Estimator column scales the sampled sum back up.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_hash_bucket",
+    oracle=f"""
+WITH s AS (
+  SELECT * FROM orders
+  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       {MS("o_totalprice")} AS sampled_value,
+       {R(f"({MS('o_totalprice')} * 16.0)")} AS est_total_value
+FROM s
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    )
+    return (
+        s.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            money_sum("o_totalprice").alias("sampled_value"),
+            pround(money_sum("o_totalprice") * F.lit(16.0)).alias("est_total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -374,3 +374,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(char_shingles("norm", 5), lambda s: F.md5(s.cast("binary")))
         ).alias("min_shingle_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality filter funnel (round 2): first-failing-rule verdict per
+# document (the standard LLM-data-pipeline keep/drop report). Rules and
+# thresholds are tuned to the corpus feature ranges (10-99 tokens,
+# stopword ratio ~0.06): too_short < 20 toks, too_long > 90 toks,
+# low_stopword < 0.04. The CASE chain is evaluated identically on both
+# engines; the ratio compare divides two exact integers.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+v AS (
+  SELECT source,
+         CASE
+           WHEN len(toks) < 20 THEN 'too_short'
+           WHEN len(toks) > 90 THEN 'too_long'
+           WHEN CAST({sql_stopword_hits("toks", STOPWORDS["en"])} AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) < 0.04 THEN 'low_stopword'
+           ELSE 'keep'
+         END AS verdict,
+         len(toks) AS n_toks
+  FROM base
+)
+SELECT source, verdict,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM v
+GROUP BY source, verdict
+ORDER BY source, verdict
+""",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    n_toks = F.size("toks")
+    stop_ratio = stopword_hits("toks", STOPWORDS["en"]).cast("double") / n_toks.cast(
+        "double"
+    )
+    verdict = (
+        F.when(n_toks < 20, "too_short")
+        .when(n_toks > 90, "too_long")
+        .when(stop_ratio < 0.04, "low_stopword")
+        .otherwise("keep")
+    )
+    return (
+        base.select("source", verdict.alias("verdict"), n_toks.alias("n_toks"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "verdict")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics per source: token count, distinct types,
+# hapax legomena (frequency-1 types), type/token ratio. Classic corpus
+# profiling; the TTR division is exact-int / exact-int.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_vocab_stats",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+words AS (SELECT source, unnest(toks) AS word FROM base),
+freq AS (SELECT source, word, count(*) AS n FROM words GROUP BY source, word)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       {R("(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE))", 6)} AS type_token_ratio
+FROM freq
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    freq = (
+        base.select("source", F.explode("toks").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.count(F.when(F.col("n") == 1, 1)).cast("long").alias("n_hapax"),
+            pround(
+                F.count(F.lit(1)).cast("double") / F.sum("n").cast("double"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -48,10 +48,12 @@ def _load_all() -> None:
     from .queries import (  # noqa: F401
         approx,
         dedup,
+        embeddings,
         etl,
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         temporal,
         text,

@@ -101,3 +101,70 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def deduped_stream(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps each key only until the watermark passes it, so the state
+    store stays O(keys-per-watermark-window) instead of O(all keys ever)
+    — plain dropDuplicates on a stream grows state forever, which is the
+    classic 100-TB streaming-dedup failure mode."""
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def run_foreach_batch_upsert(
+    df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink: latest-wins MERGE of every micro-batch into a
+    parquet target (the Delta-less `MERGE INTO` pattern). foreachBatch
+    hands each micro-batch to arbitrary BATCH code, which is how
+    Structured Streaming reaches sinks/logic the streaming API can't
+    express (multi-table writes, JDBC upserts, MERGE).
+
+    The read-merge-overwrite here is the local-parquet stand-in for a
+    transactional MERGE; at scale the body swaps for Delta/Iceberg
+    `MERGE INTO` with the identical upsert semantics
+    (operators/incremental.upsert).
+    """
+    from ..operators.incremental import upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = upsert(
+            batch_df.limit(0), batch_df, keys=keys, order_col=order_col
+        )
+        try:
+            base = spark.read.parquet(target_path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            merged = upsert(base, batch_latest, keys=keys, order_col=order_col)
+        else:
+            merged = batch_latest
+        # parquet can't overwrite a path that the plan is still lazily
+        # reading: stage the merge to a batch-scoped temp dir, then
+        # rewrite the target from the staged copy (a real lakehouse
+        # MERGE makes this one transaction instead).
+        staged = f"{target_path}__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(target_path)
+
+    q = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,132 @@
+"""Small-file compaction + z-order layout tests (sinks/compaction.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from statcan_etl_pipeline_spark.catalog import load_table
+from statcan_etl_pipeline_spark.sinks.compaction import (
+    _interleave2,
+    compact_parquet,
+    compaction_plan,
+    list_data_files,
+    write_zordered_parquet,
+    zorder_value,
+)
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def test_compaction_reduces_file_count(spark, sf_small):
+    src = _tmp("frag_src_")
+    out = _tmp("compact_out_")
+    orders = load_table(spark, sf_small, "orders")
+    # simulate a fragmented streaming sink: 64 tiny files
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    before_files = list_data_files(spark, src)
+    assert len(before_files) == 64
+    stats = compact_parquet(spark, src, out, target_bytes=1024 * 1024)
+    assert stats["before"]["n_files"] == 64
+    assert stats["after"]["n_files"] < 64
+    assert stats["after"]["n_files"] == stats["before"]["target_files"]
+    # lossless: same rows
+    a = spark.read.parquet(src).count()
+    b = spark.read.parquet(out).count()
+    assert a == b
+
+
+def test_compaction_preserves_hive_partitions(spark, sf_small):
+    src = _tmp("frag_part_src_")
+    out = _tmp("compact_part_out_")
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    orders.repartition(16).write.mode("overwrite").partitionBy("status").parquet(src)
+    stats = compact_parquet(
+        spark, src, out, target_bytes=1024 * 1024, partition_cols=["status"]
+    )
+    assert stats["after"]["n_files"] <= stats["before"]["n_files"]
+    back = spark.read.parquet(out)
+    assert "status" in back.columns  # hive layout preserved
+    assert back.count() == orders.count()
+
+
+def test_compaction_plan_stats():
+    plan = compaction_plan([("a", 10), ("b", 20), ("c", 1000)], target_bytes=100)
+    assert plan["n_files"] == 3
+    assert plan["total_bytes"] == 1030
+    assert plan["target_files"] == 11
+    assert plan["small_files"] == 2
+
+
+def test_interleave_matches_python_reference(spark):
+    df = spark.range(0, 512).select(
+        F.col("id").alias("a"), (F.lit(511) - F.col("id")).alias("b")
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", _interleave2(F.col("a"), F.col("b"))).collect()
+    }
+
+    def ref(a: int, b: int) -> int:
+        z = 0
+        for i in range(21):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b)
+
+
+def test_zorder_value_is_deterministic_and_bounded(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    z = zorder_value(orders, "o_custkey", "o_orderkey")
+    stats = z.agg(F.min("_zvalue"), F.max("_zvalue")).collect()[0]
+    assert stats[0] >= 0
+    assert stats[1] < (1 << 42)
+    # deterministic across runs
+    z2 = zorder_value(orders, "o_custkey", "o_orderkey")
+    assert z.orderBy("o_orderkey").select("_zvalue").collect() == z2.orderBy(
+        "o_orderkey"
+    ).select("_zvalue").collect()
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, sf_small):
+    """The point of z-order: a filter on EITHER clustered column should
+    touch a small subset of files (file-level min/max stats), unlike a
+    random layout where every file matches."""
+    rand_path = _tmp("layout_rand_")
+    z_path = _tmp("layout_z_")
+    orders = load_table(spark, sf_small, "orders")
+    n_files = 8
+    # baseline: hash-scatter (every file spans the full key range)
+    orders.repartition(n_files).write.mode("overwrite").parquet(rand_path)
+    write_zordered_parquet(orders, z_path, "o_custkey", "o_orderkey", n_files=n_files)
+
+    lo, hi = 1, 30  # tight o_custkey range
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("o_custkey").between(lo, hi))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    assert files_touched(rand_path) == n_files  # scatter: all files hit
+    assert files_touched(z_path) < n_files  # z-order: most files skipped
+    # and the same layout also prunes on the second column
+    z_orderkey_files = (
+        spark.read.parquet(z_path)
+        .filter(F.col("o_orderkey") < 100)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert z_orderkey_files < n_files

@@ -115,3 +115,66 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_small):
+    """Streaming dedup drops the duplicate event_ids we inject and
+    passes everything else through, with state bounded by the
+    watermark."""
+    from statcan_etl_pipeline_spark.streaming.jobs import deduped_stream
+
+    stream = _normalized_stream(spark, sf_small)
+    # duplicate every event by unioning the stream source with itself:
+    # stage the same file twice so the SECOND micro-batch replays ids.
+    import os
+
+    d = _stage_dir(sf_small)
+    os.symlink(
+        os.path.realpath(os.path.join(d, "events.parquet")),
+        os.path.join(d, "events_dup.parquet"),
+    )
+    from statcan_etl_pipeline_spark.streaming.jobs import events_stream
+
+    raw = events_stream(spark, d, _stream_schema(spark, sf_small))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    run_available_now(
+        deduped_stream(raw, ["event_id"]), "stream_dedup", output_mode="append"
+    )
+    got = spark.table("stream_dedup").count()
+    want = load_table(spark, sf_small, "events").count()
+    assert got == want  # every replayed id deduplicated, nothing lost
+
+
+def test_foreach_batch_upsert_latest_wins(spark, sf_small):
+    """foreachBatch MERGE: after draining the stream, the target holds
+    exactly one row per user with that user's latest event."""
+    import tempfile
+
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        events_stream,
+        run_foreach_batch_upsert,
+    )
+
+    target = tempfile.mkdtemp(prefix="upsert_target_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    raw = events_stream(spark, _stage_dir(sf_small), _stream_schema(spark, sf_small))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    slim = raw.select("user_id", "event_id", "ts", "event_type")
+    run_foreach_batch_upsert(
+        slim, target, keys=["user_id"], order_col="event_id", checkpoint_dir=ckpt
+    )
+    got = spark.read.parquet(target)
+    ev = load_table(spark, sf_small, "events")
+    # one row per user, and it is the max-event_id row for that user
+    assert got.count() == ev.select("user_id").distinct().count()
+    want = (
+        ev.groupBy("user_id").agg(F.max("event_id").alias("event_id"))
+    )
+    mismatches = (
+        got.select("user_id", "event_id")
+        .exceptAll(want.select("user_id", "event_id"))
+        .count()
+    )
+    assert mismatches == 0
