@@ -57,6 +57,7 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "text_fingerprint",
     # --- new in round 2 (inserted here as they are implemented) ---
+    "q21_waiting_suppliers",
     "q11_important_stock",
     "corr_price_quantity",
     "sample_hash_bucket",
@@ -64,6 +65,11 @@ _CHECK_FIRST = [
     "corpus_vocab_stats",
     "embedding_norm_stats",
     "multimodal_kind_catalog",
+    "rfm_segments",
+    "events_hourly_anomalies",
+    "pipeline_topk_per_segment",
+    "statcan_rebase_index",
+    "ann_pq_cosine",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",
@@ -86,7 +92,6 @@ _CHECK_FIRST = [
     "percentiles_order_value",
     "q17_small_quantity_revenue",
     "semi_join_suppliers_with_returns",
-    "q21_waiting_suppliers",
     "events_week4_retention",
 ]
 

@@ -8,7 +8,12 @@ boundaries, and the optimizer is free to reorder. This is the
 Spark-first answer to the reference's staged extract→transform→load
 runner: declare, don't schedule.
 
-Supported ops: filter, derive, select, join, aggregate, sort, limit.
+Supported ops: filter, derive, select, join, aggregate, sort, limit,
+distinct, union, repartition, write. `derive` exprs may contain window
+functions (`... OVER (PARTITION BY ...)`), so ranked/deduped stages
+need no dedicated op. `write` is the load stage: partitioned parquet
+through sinks.writers, passing the DataFrame through unchanged so a
+pipeline can land intermediate tables and keep going.
 """
 
 from __future__ import annotations
@@ -49,6 +54,25 @@ def run_pipeline(spec: Mapping[str, Any], tables: Mapping[str, DataFrame]) -> Da
             df = df.orderBy(*[F.expr(e) for e in step["by"]])
         elif op == "limit":
             df = df.limit(int(step["n"]))
+        elif op == "distinct":
+            df = df.distinct()
+        elif op == "union":
+            df = df.unionByName(
+                tables[step["table"]], allowMissingColumns=bool(step.get("allow_missing"))
+            )
+        elif op == "repartition":
+            cols = [F.col(c) for c in step.get("by", [])]
+            df = df.repartition(int(step["n"]), *cols) if cols else df.repartition(int(step["n"]))
+        elif op == "write":
+            from ..sinks.writers import write_partitioned_parquet
+
+            write_partitioned_parquet(
+                df,
+                step["path"],
+                partition_cols=step.get("partition_by"),
+                mode=step.get("mode", "overwrite"),
+                target_partitions=step.get("target_partitions"),
+            )
         else:
             raise ValueError(f"pipeline step {i}: unknown op {op!r}")
     return df

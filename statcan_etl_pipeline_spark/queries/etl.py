@@ -354,3 +354,122 @@ def statcan_pct_change_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vector", "ref_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline with join + window-derive + load stage (round 2): top-5
+# orders per market segment, written to a partitioned parquet sink by
+# the pipeline's own `write` step — extract → transform → load as ONE
+# declarative spec (and still one Catalyst plan for the transform).
+# ---------------------------------------------------------------------------
+def _topk_spec(out_path: str) -> dict:
+    return {
+        "source": "orders",
+        "steps": [
+            {"op": "derive", "name": "c_custkey", "expr": "o_custkey"},
+            {"op": "join", "table": "customer", "on": "c_custkey", "broadcast": True},
+            {
+                "op": "derive",
+                "name": "rk",
+                "expr": "row_number() OVER (PARTITION BY c_mktsegment "
+                "ORDER BY o_totalprice DESC, o_orderkey)",
+            },
+            {"op": "filter", "expr": "rk <= 5"},
+            {
+                "op": "select",
+                "exprs": [
+                    "c_mktsegment AS segment",
+                    "CAST(rk AS BIGINT) AS rk",
+                    "o_orderkey",
+                    "o_totalprice AS totalprice",
+                ],
+            },
+            {"op": "write", "path": out_path, "partition_by": ["segment"]},
+            {"op": "sort", "by": ["segment", "rk"]},
+        ],
+    }
+
+
+@query(
+    "pipeline_topk_per_segment",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice AS totalprice
+FROM ranked WHERE rk <= 5
+ORDER BY segment, rk
+""",
+)
+def pipeline_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "customer": load_table(spark, sf_dir, "customer"),
+    }
+    out = tempfile.mkdtemp(prefix="pipeline_topk_") + "/t"
+    return run_pipeline(_topk_spec(out), tables)
+
+
+# ---------------------------------------------------------------------------
+# Index rebasing (round 2): re-express each vector's series as an index
+# with a chosen base period = 100 (the standard StatCan presentation,
+# e.g. CPI 2002=100). The ratio divides two exact fixed-point values
+# (identical integers on both engines), so the index double is
+# bit-identical; series missing the base month drop out (inner join).
+# ---------------------------------------------------------------------------
+_REBASE_MONTH = "1997-06"
+
+
+@query(
+    "statcan_rebase_index",
+    oracle=f"""
+WITH series AS (
+  SELECT 'v' || CAST(n_nationkey AS VARCHAR) AS vector,
+         strftime(o_orderdate, '%Y-%m')      AS ref_month,
+         {MS("o_totalprice")}                AS value
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY vector, ref_month
+), base AS (
+  SELECT vector, value AS base_value FROM series WHERE ref_month = '{_REBASE_MONTH}'
+)
+SELECT s.vector, s.ref_month, s.value,
+       {R("(s.value / base_value * 100.0)", 4)} AS index_value
+FROM series s JOIN base USING (vector)
+ORDER BY vector, ref_month
+""",
+)
+def statcan_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    series = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.concat(F.lit("v"), F.col("n_nationkey").cast("string")).alias("vector"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ref_month"),
+        )
+        .agg(money_sum("o_totalprice").alias("value"))
+    )
+    base = series.filter(F.col("ref_month") == _REBASE_MONTH).select(
+        "vector", F.col("value").alias("base_value")
+    )
+    return (
+        series.join(F.broadcast(base), "vector")
+        .select(
+            "vector",
+            "ref_month",
+            "value",
+            pround(F.col("value") / F.col("base_value") * F.lit(100.0), 4).alias(
+                "index_value"
+            ),
+        )
+        .orderBy("vector", "ref_month")
+    )

@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     # Import for registration side effects.
     from .queries import (  # noqa: F401
+        analytics,
         approx,
         dedup,
         embeddings,

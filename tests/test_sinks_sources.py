@@ -128,3 +128,40 @@ def test_wds_prunes_columns_at_scan(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert read_schema and all("SYMBOL" not in ln for ln in read_schema)
+
+
+def test_csv_quarantine_splits_malformed(spark, tmp_path):
+    from statcan_etl_pipeline_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+        "4,dave,\n"  # empty amount: null, NOT malformed
+    )
+    good, bad = read_csv_with_quarantine(
+        spark, str(p), "id bigint, name string, amount double"
+    )
+    assert good.count() == 3  # rows 1, 3, 4
+    assert bad.count() == 1
+    raw = bad.collect()[0][0]
+    assert "not_a_number" in raw  # raw line preserved for replay
+    assert "_corrupt_record" not in good.columns
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    from statcan_etl_pipeline_spark.sources.readers import read_parquet_evolving
+
+    v1 = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    )
+    v1.write.parquet(str(tmp_path / "t"), mode="append")
+    v2.write.parquet(str(tmp_path / "t"), mode="append")
+    df = read_parquet_evolving(spark, str(tmp_path / "t"))
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None  # old files null-filled
+    assert rows[2]["score"] == 9.5
