@@ -1,0 +1,30 @@
+"""Sources: schema-enforced parquet/CSV/JSON readers (with malformed-row
+quarantine + mergeSchema evolution) and the StatCan-WDS long-format reader."""
+
+from .readers import (
+    read_csv,
+    read_csv_with_quarantine,
+    read_json,
+    read_parquet,
+    read_parquet_evolving,
+)
+from .statcan_wds import (
+    build_dimension,
+    latest_revision,
+    read_wds_csv,
+    vector_series,
+    wds_schema,
+)
+
+__all__ = [
+    "build_dimension",
+    "latest_revision",
+    "read_csv",
+    "read_csv_with_quarantine",
+    "read_json",
+    "read_parquet",
+    "read_parquet_evolving",
+    "read_wds_csv",
+    "vector_series",
+    "wds_schema",
+]

@@ -130,3 +130,22 @@ def test_zorder_layout_skips_files_on_both_columns(spark, sf_small):
         .count()
     )
     assert z_orderkey_files < n_files
+
+
+def test_compaction_plan_properties():
+    import math
+
+    from hypothesis import given, strategies as st
+
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=10**12), max_size=50),
+        target=st.integers(min_value=1, max_value=10**9),
+    )
+    def check(sizes, target):
+        plan = compaction_plan([(f"f{i}", s) for i, s in enumerate(sizes)], target)
+        assert plan["n_files"] == len(sizes)
+        assert plan["total_bytes"] == sum(sizes)
+        assert plan["target_files"] == max(1, math.ceil(sum(sizes) / target))
+        assert 0 <= plan["small_files"] <= len(sizes)
+
+    check()
