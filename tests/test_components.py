@@ -46,3 +46,57 @@ def test_dedup_groups_match_union_find_on_real_pairs(spark, sf_small):
     }
     ref = _union_find(list(groups.keys()), pairs)
     assert groups == ref
+
+
+def test_star_components_match_union_find_random_graphs(spark):
+    import random
+
+    from statcan_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 45))
+        ]
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            (r["vertex"], r["component"])
+            for r in connected_components_star(verts, edf).collect()
+        }
+        ref = _union_find(range(n), edges)
+        assert got == set(ref.items()), f"trial {trial}: {sorted(got - set(ref.items()))}"
+
+
+def test_star_components_converge_on_deep_chain(spark):
+    """A 60-node chain has diameter 59: label propagation's default
+    max_iter=20 cannot converge, but large-star/small-star needs only
+    O(log^2 n) rounds — this is WHY the star formulation is the
+    web-scale path."""
+    import warnings as w
+
+    from statcan_etl_pipeline_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")  # star must NOT warn (it converges)
+        got = {
+            (r["vertex"], r["component"])
+            for r in connected_components_star(verts, chain).collect()
+        }
+    assert got == {(i, 0) for i in range(n)}
+    # and the label-propagation formulation warns at its default budget
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(verts, chain, max_iter=5).collect()
+    assert any(issubclass(c.category, RuntimeWarning) for c in caught)

@@ -56,3 +56,24 @@ def test_asof_join_is_window_not_inequality_join(spark, sf_small):
     plan = _plan(spark, "asof_join_purchase_to_view", sf_small)
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_broadcast_hints_survive_threshold_zero(spark, sf_small):
+    """Dimension joins carry explicit broadcast() hints, so the plan
+    keeps BroadcastHashJoin even when autoBroadcastJoinThreshold is
+    disabled — at 100 TB you can't rely on size estimation alone
+    (stats are often missing/stale on fresh parquet)."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            QUERIES["q5_local_supplier_volume"](spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
