@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "pipeline_topk_per_segment",
     "statcan_rebase_index",
     "ann_pq_cosine",
+    "cms_word_frequency",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

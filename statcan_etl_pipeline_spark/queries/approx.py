@@ -43,3 +43,84 @@ def approx_quantiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 2): UNLIKE the HLL/GK sketches above, this one
+# is built from first principles with md5-derived hash rows, so it IS
+# engine-portable and fully oracle-checked. d=4 hash rows × w=256
+# buckets; estimate(word) = min over rows of its bucket count. The
+# one-sided error guarantee (estimate ≥ exact, overshoot ≤ εN with
+# prob 1−δ) is asserted in tests/test_approx.py.
+#
+# Scale story: the sketch build is one groupBy over (row, bucket) —
+# d×w = 1024 counters TOTAL regardless of corpus size, where an exact
+# frequency table needs O(vocabulary) state per executor.
+# ---------------------------------------------------------------------------
+CMS_D = 4    # hash rows
+# bucket id from two hex chars of md5 via ascii() — injective on the
+# 16-char hex alphabet in BOTH engines, so w = 256 effective buckets
+_CMS_BUCKET = "(ascii(substr(md5('cms{d}:' || {col}), 1, 1)) * 128 + ascii(substr(md5('cms{d}:' || {col}), 2, 1)))"
+
+_CMS_TOKS = (
+    "SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word "
+    "FROM documents"
+)
+
+
+def _cms_bucket_sql(col: str, d: int) -> str:
+    return _CMS_BUCKET.format(d=d, col=col)
+
+
+@query(
+    "cms_word_frequency",
+    oracle=f"""
+WITH toks AS ({_CMS_TOKS}),
+cms AS (
+  {" UNION ALL ".join(f"SELECT {d} AS row_id, {_CMS_BUCKET.format(d=d, col='word')} AS bucket, count(*) AS n FROM toks GROUP BY bucket" for d in range(CMS_D))}
+),
+exact AS (SELECT word, count(*) AS exact_n FROM toks GROUP BY word),
+wb AS (
+  {" UNION ALL ".join(f"SELECT word, exact_n, {d} AS row_id, {_CMS_BUCKET.format(d=d, col='word')} AS bucket FROM exact" for d in range(CMS_D))}
+)
+SELECT word, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(min(n) AS BIGINT) AS cms_n
+FROM wb JOIN cms USING (row_id, bucket)
+GROUP BY word, exact_n
+ORDER BY word
+""",
+)
+def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scatter
+    from ..functions.text import norm_text, tokens
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "norm", norm_text("text")
+    )
+    toks = docs.select(F.explode(tokens("norm")).alias("word"))
+
+    def bucket(col: str, d: int) -> F.Column:
+        return F.expr(_cms_bucket_sql(col, d))
+
+    cms = None
+    for d in range(CMS_D):
+        part = (
+            toks.select(F.lit(d).alias("row_id"), bucket("word", d).alias("bucket"))
+            .groupBy("row_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cms = part if cms is None else cms.unionByName(part)
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    wb = None
+    for d in range(CMS_D):
+        part = exact.select(
+            "word", "exact_n", F.lit(d).alias("row_id"), bucket("word", d).alias("bucket")
+        )
+        wb = part if wb is None else wb.unionByName(part)
+    return (
+        wb.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("n").cast("long").alias("cms_n"))
+        .select("word", F.col("exact_n").cast("long").alias("exact_n"), "cms_n")
+        .orderBy("word")
+    )

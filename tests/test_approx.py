@@ -40,3 +40,19 @@ def test_approx_quantiles_close_to_exact(spark, sf_med):
         e50, e90 = exact[seg]
         assert abs(a50 - e50) / e50 < 0.02, (seg, a50, e50)
         assert abs(a90 - e90) / e90 < 0.02, (seg, a90, e90)
+
+
+def test_cms_overestimates_with_bounded_error(spark, sf_med):
+    """Count-min guarantee: estimate >= exact for every key, and with
+    d=4 rows x w=256 buckets the expected overshoot is N/w per row —
+    taking the min over 4 independent rows keeps it small on a
+    31-word vocabulary."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["cms_word_frequency"](spark, sf_med).collect()
+    assert len(rows) > 0
+    n_total = sum(r["exact_n"] for r in rows)
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r
+        # overshoot bounded by ~2·N/w with high probability
+        assert r["cms_n"] - r["exact_n"] <= max(2 * n_total // 256, 50), r

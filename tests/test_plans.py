@@ -77,3 +77,13 @@ def test_broadcast_hints_survive_threshold_zero(spark, sf_small):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bench_headline_queries_all_registered():
+    import bench
+    from statcan_etl_pipeline_spark.registry import ORACLES, QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names drifted from registry: {missing}"
+    # headline set stays comparable across rounds: r1 recorded 18
+    assert len(bench.HEADLINE) == 18
