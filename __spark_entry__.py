@@ -71,6 +71,9 @@ _CHECK_FIRST = [
     "statcan_rebase_index",
     "ann_pq_cosine",
     "cms_word_frequency",
+    "window_distribution_functions",
+    "date_arithmetic_demo",
+    "null_semantics_demo",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -250,3 +250,122 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist produce exact
+# rationals (k/n — IEEE-division-portable), ranked within each segment.
+# ---------------------------------------------------------------------------
+@query(
+    "window_distribution_functions",
+    oracle=f"""
+WITH c AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer WHERE c_custkey <= 200
+)
+SELECT c_mktsegment, c_custkey,
+       {R("percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)", 6)} AS pct_rank,
+       {R("cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)", 6)} AS cume,
+       first_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+       last_value(c_custkey)  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+FROM c
+ORDER BY c_mktsegment, c_custkey
+""",
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(wfull).alias("poorest"),
+        F.last("c_custkey").over(wfull).alias("richest"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Date/interval arithmetic coverage: all-integer or ISO-string outputs
+# (no float date math), so cross-engine parity is structural.
+# ---------------------------------------------------------------------------
+@query(
+    "date_arithmetic_demo",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+       CAST(week(o_orderdate) AS BIGINT) AS iso_week
+FROM orders
+WHERE o_orderkey <= 100
+ORDER BY o_orderkey
+""",
+)
+def date_arithmetic_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+        # ISO weekday (Mon=1..Sun=7): Spark dayofweek is Sun=1-based
+        ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("long").alias("iso_weekday"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Null-handling semantics: coalesce / nullif / null-safe grouping —
+# nulls grouped as their own key on both engines, plus null-safe
+# equality in a join-ish CASE.
+# ---------------------------------------------------------------------------
+@query(
+    "null_semantics_demo",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         nullif(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+         CASE WHEN o_totalprice > 200000 THEN NULL ELSE o_orderstatus END AS status_or_null
+  FROM orders
+)
+SELECT coalesce(prio_or_null, '(defaulted)') AS prio,
+       status_or_null,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(status_or_null) AS BIGINT) AS n_nonnull_status
+FROM t
+GROUP BY prio, status_or_null
+ORDER BY prio, status_or_null NULLS FIRST
+""",
+)
+def null_semantics_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio_or_null"),
+        F.when(F.col("o_totalprice") > 200000, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status_or_null"),
+    )
+    return (
+        t.select(
+            F.coalesce("prio_or_null", F.lit("(defaulted)")).alias("prio"),
+            "status_or_null",
+        )
+        .groupBy("prio", "status_or_null")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("status_or_null").cast("long").alias("n_nonnull_status"),
+        )
+        .orderBy("prio", F.asc_nulls_first("status_or_null"))
+    )
