@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "window_distribution_functions",
     "date_arithmetic_demo",
     "null_semantics_demo",
+    "kmv_distinct_parts",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable import sql_round
 from ..registry import query
 
 
@@ -123,4 +124,98 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").cast("long").alias("cms_n"))
         .select("word", F.col("exact_n").cast("long").alias("exact_n"), "cms_n")
         .orderBy("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch (round 2): like the CMS
+# above, built from md5 so it is deterministic and FULLY oracle-checked
+# (approx_count_distinct's HLL sketch is engine-private; this one isn't).
+# Estimator: with h = 32-bit-normalized md5 of the key and h_k the k-th
+# smallest distinct hash in a group, E[distinct] ≈ (k-1)·2^32 / h_k.
+# Groups with ≤ k distinct hashes are exact by construction.
+#
+# Scale story: per group the state is a bounded k-item min-heap (here:
+# window top-k), vs the O(distinct) set an exact count carries.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+_KMV_EST_SQL = (
+    f"(CASE WHEN n_h < {KMV_K} THEN CAST(n_h AS DOUBLE) "
+    f"ELSE ({KMV_K} - 1.0) * 4294967296.0 / CAST(h_k AS DOUBLE) END)"
+)
+
+
+def _hex32_sql(h: str) -> str:
+    """First 8 hex chars of md5 column `h` as a BIGINT — ascii-based
+    digit math only, so the expression parses in Spark SQL AND DuckDB."""
+    return "(" + " + ".join(
+        f"CAST(ascii(substr({h}, {i + 1}, 1)) - "
+        f"CASE WHEN ascii(substr({h}, {i + 1}, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ) + ")"
+
+
+@query(
+    "kmv_distinct_parts",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT l_returnflag,
+         {_hex32_sql("md5('kmv:' || CAST(l_partkey AS VARCHAR))")} AS h
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_h
+  FROM hashes
+), kth AS (
+  SELECT l_returnflag, h AS h_k, n_h FROM ranked
+  WHERE rn = CASE WHEN n_h < {KMV_K} THEN n_h ELSE {KMV_K} END
+), exact AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT k.l_returnflag,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       {sql_round(_KMV_EST_SQL, 2)} AS kmv_estimate
+FROM kth k JOIN exact e ON k.l_returnflag = e.l_returnflag
+ORDER BY k.l_returnflag
+""",
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.portable import pround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.expr(_hex32_sql("md5('kmv:' || CAST(l_partkey AS STRING))"))
+    hashes = li.select("l_returnflag", h.alias("h")).distinct()
+    wrank = W.partitionBy("l_returnflag").orderBy("h")
+    wall = W.partitionBy("l_returnflag")
+    ranked = hashes.select(
+        "l_returnflag",
+        "h",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_h"),
+    )
+    kth = ranked.filter(
+        F.col("rn")
+        == F.when(F.col("n_h") < KMV_K, F.col("n_h")).otherwise(F.lit(KMV_K))
+    ).select("l_returnflag", F.col("h").alias("h_k"), "n_h")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_h") < KMV_K, F.col("n_h").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.col("h_k").cast("double")
+    )
+    return (
+        kth.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            pround(est, 2).alias("kmv_estimate"),
+        )
+        .orderBy("l_returnflag")
     )

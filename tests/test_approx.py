@@ -56,3 +56,15 @@ def test_cms_overestimates_with_bounded_error(spark, sf_med):
         assert r["cms_n"] >= r["exact_n"], r
         # overshoot bounded by ~2·N/w with high probability
         assert r["cms_n"] - r["exact_n"] <= max(2 * n_total // 256, 50), r
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_med):
+    """KMV with k=64 has relative stderr ~1/sqrt(k-2) ~ 13%; assert the
+    deterministic estimate lands within 3-sigma of exact."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["kmv_distinct_parts"](spark, sf_med).collect()
+    assert len(rows) > 0
+    for r in rows:
+        rel_err = abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel_err <= 0.40, (r, rel_err)
