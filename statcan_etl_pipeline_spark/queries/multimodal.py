@@ -1,5 +1,5 @@
 """Multimodal plumbing query: binary payload + metadata, oracle-checked
-(the Arrow/mapInPandas decode stub is exercised in tests/test_multimodal.py)."""
+(the Arrow/mapInPandas decode stub is exercised in tests/test_operators.py)."""
 
 from __future__ import annotations
 
