@@ -25,10 +25,18 @@ from .quality import (
     dq_report,
 )
 from .simhash import simhash_candidate_pairs, simhash_signatures
-from .temporal import asof_join_backward, sessionize, tumbling_window
+from .temporal import (
+    asof_join_backward,
+    asof_join_forward,
+    asof_join_nearest,
+    sessionize,
+    tumbling_window,
+)
 
 __all__ = [
     "asof_join_backward",
+    "asof_join_forward",
+    "asof_join_nearest",
     "attach_binary_payload",
     "check_accepted_values",
     "check_not_null",

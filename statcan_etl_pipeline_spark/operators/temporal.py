@@ -99,3 +99,109 @@ def tumbling_window(df: DataFrame, ts: str, duration: str = "1 hour") -> Column:
     """Epoch-aligned tumbling window start for grouping (batch parity of
     the Structured Streaming `window()` aggregation)."""
     return F.window(F.col(ts), duration)["start"]
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "matched_",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts >= left_ts`` within the same ``on`` key (forward as-of —
+    pandas merge_asof(direction='forward') semantics).
+
+    Right rows at the exact left timestamp DO match. Ties among right
+    rows at the same timestamp resolve to the smallest right row
+    (struct-lexicographic) — deterministic. Same single-shuffle
+    union + carry formulation as the backward variant (no inequality
+    join blowup).
+    """
+    on = list(on)
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+
+    rsel = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.struct(*[F.col(c) for c in [right_ts, *rcols]]).alias("__rv"),
+    )
+    null_rv = F.lit(None).cast(rsel.schema["__rv"].dataType)
+    lsel = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__src"),
+        null_rv.alias("__rv"),
+        *[F.col(c) for c in lcols],
+    )
+    rsel = rsel.select(
+        *on,
+        "__ts",
+        "__src",
+        "__rv",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    unioned = lsel.unionByName(rsel)
+    # left rows (src=1) sort BEFORE same-ts right rows (src=0) so the
+    # [current, +inf) frame sees exact-timestamp matches
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.desc("__src"), F.asc_nulls_first("__rv"))
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    carried = F.first("__rv", ignorenulls=True).over(w)
+    return (
+        unioned.withColumn("__match", carried)
+        .filter(F.col("__src") == 1)
+        .select(
+            *on,
+            F.col("__ts").alias(left_ts),
+            *[F.col(c) for c in lcols],
+            F.col(f"__match.{right_ts}").alias(f"{right_prefix}{right_ts}"),
+            *[F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in rcols],
+        )
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "matched_",
+) -> DataFrame:
+    """For each left row, attach the CLOSEST right row in time within
+    the same key (pandas merge_asof(direction='nearest')); exact ties
+    prefer the backward (earlier-or-equal) match. Built from the
+    backward and forward passes over one union — the two windows share
+    the partitioning, so Catalyst plans one exchange + two sorts."""
+    on = list(on)
+    back = asof_join_backward(left, right, on, left_ts, right_ts, "__b_")
+    fwd = asof_join_forward(left, right, on, left_ts, right_ts, "__f_")
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    join_keys = on + [left_ts] + lcols
+    both = back.join(fwd, join_keys)
+    b_ts, f_ts = F.col(f"__b_{right_ts}"), F.col(f"__f_{right_ts}")
+    take_back = F.when(b_ts.isNull(), F.lit(False)).otherwise(
+        f_ts.isNull()
+        | (
+            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(b_ts)
+            <= F.unix_timestamp(f_ts) - F.unix_timestamp(F.col(left_ts))
+        )
+    )
+    sel = [F.col(c) for c in join_keys]
+    sel.append(
+        F.when(take_back, b_ts).otherwise(f_ts).alias(f"{right_prefix}{right_ts}")
+    )
+    for c in rcols:
+        sel.append(
+            F.when(take_back, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"{right_prefix}{c}")
+        )
+    return both.select(*sel)

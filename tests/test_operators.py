@@ -233,3 +233,88 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_doc[1]) == 4  # 200 bytes / 16 stride capped at 4 frames
     assert len(by_doc[2]) == 1  # short payload → 1 frame
     assert bytes(by_doc[1][0]["frame"]) == b"x" * 16
+
+
+def test_asof_forward_matches_next_event(spark):
+    from statcan_etl_pipeline_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 10:30:00", "c")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "exact"), (1, "2024-01-01 11:00:00", "later"),
+         (2, "2024-01-01 09:00:00", "before_only")],
+        "k long, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["k"], str(r["ts"]), r["lv"]): r["matched_rv"]
+        for r in asof_join_forward(left, right, on=["k"]).collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00", "a")] == "exact"   # same-ts matches
+    assert got[(1, "2024-01-01 12:00:00", "b")] is None      # nothing after
+    assert got[(2, "2024-01-01 10:30:00", "c")] is None      # only earlier rows
+
+
+def test_asof_nearest_prefers_closest_then_backward(spark):
+    from statcan_etl_pipeline_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "mid"),   # 30min to prev, 10min to next -> fwd
+         (1, "2024-01-01 12:00:00", "tie"),   # 50min each way -> backward wins tie
+         (2, "2024-01-01 10:00:00", "only_fwd")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "p1"), (1, "2024-01-01 10:10:00", "p2"),
+         (1, "2024-01-01 11:10:00", "p3"), (1, "2024-01-01 12:50:00", "p4"),
+         (2, "2024-01-01 10:45:00", "f1")],
+        "k long, ts string, rv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["k"], r["lv"]): r["matched_rv"]
+        for r in asof_join_nearest(left, right, on=["k"]).collect()
+    }
+    assert got[(1, "mid")] == "p2"       # 10 min forward beats 30 min back
+    assert got[(1, "tie")] == "p3"       # exact tie -> backward
+    assert got[(2, "only_fwd")] == "f1"  # no backward candidate
+
+
+def test_asof_forward_agrees_with_pandas_merge_asof(spark, sf_small):
+    import pandas as pd
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.operators.temporal import asof_join_forward
+
+    ev = load_table(spark, sf_small, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    got = (
+        asof_join_forward(purchases, views, on=["user_id"])
+        .select("user_id", "purchase_id", "matched_view_id")
+        .toPandas()
+        .sort_values(["user_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    lp = purchases.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = views.toPandas().sort_values("ts").reset_index(drop=True)
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="forward",
+        allow_exact_matches=True,
+    ).sort_values(["user_id", "purchase_id"]).reset_index(drop=True)
+    merged = got.merge(
+        want[["user_id", "purchase_id", "view_id"]],
+        on=["user_id", "purchase_id"],
+        how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
+    # NaN == NaN for the no-match rows; compare with fillna sentinel
+    assert (
+        merged["matched_view_id"].fillna(-1) == merged["view_id"].fillna(-1)
+    ).all()
