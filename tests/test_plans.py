@@ -87,3 +87,32 @@ def test_bench_headline_queries_all_registered():
     assert not missing, f"bench names drifted from registry: {missing}"
     # headline set stays comparable across rounds: r1 recorded 18
     assert len(bench.HEADLINE) == 18
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_small):
+    """Two tables bucketed on the join key join with ZERO Exchange
+    operators — the layout IS the shuffle, paid once at write time.
+    This is the 100 TB fact-fact join strategy."""
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.sinks.writers import write_bucketed_table
+
+    orders = load_table(spark, sf_small, "orders")
+    li = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 the planner would rather broadcast; disable it to
+        # exercise the path a fact-fact join takes at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the whole point: no shuffle exchange anywhere in the join plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
