@@ -116,3 +116,48 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_small):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A pathologically hot key must trigger AQE's skew-join split
+    (SortMergeJoin(skew=true) in the FINAL adaptive plan) — the runtime
+    complement to the explicit salted_join operator. Thresholds are
+    lowered so the 200k-row hot partition counts as skewed at test
+    scale; at 100 TB the defaults (256MB) do the same job."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 9900).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()  # execute THIS plan so AQE finalizes it
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert len(rows) == 209900  # skew split must not change results
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
