@@ -18,6 +18,7 @@ from .multimodal import (
 )
 from .quality import (
     check_accepted_values,
+    check_freshness,
     check_not_null,
     check_range,
     check_referential,
@@ -39,6 +40,7 @@ __all__ = [
     "asof_join_nearest",
     "attach_binary_payload",
     "check_accepted_values",
+    "check_freshness",
     "check_not_null",
     "check_range",
     "check_referential",

@@ -68,6 +68,32 @@ def check_range(
     )
 
 
+def check_freshness(
+    df: DataFrame,
+    ts_col: str,
+    as_of: str,
+    max_lag_seconds: int,
+    name: str | None = None,
+) -> DataFrame:
+    """Freshness: the newest ``ts_col`` must be within ``max_lag_seconds``
+    of ``as_of`` (an ISO timestamp string — pass your pipeline's run
+    time). Reports 1 violation if stale or the table is empty, else 0.
+    The staple check for incremental loads: catches a silently dead
+    upstream BEFORE downstream queries serve old data."""
+    lag = F.unix_timestamp(F.lit(as_of).cast("timestamp")) - F.unix_timestamp(
+        F.max(F.col(ts_col))
+    )
+    return df.agg(
+        F.lit(name or f"freshness:{ts_col}").alias("check_name"),
+        F.when(
+            F.coalesce(lag, F.lit(max_lag_seconds + 1)) > max_lag_seconds, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("violations"),
+    )
+
+
 def dq_report(checks: list[DataFrame]) -> DataFrame:
     out = checks[0]
     for c in checks[1:]:

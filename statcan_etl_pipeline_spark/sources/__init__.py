@@ -5,6 +5,7 @@ from .readers import (
     read_csv,
     read_csv_with_quarantine,
     read_json,
+    read_json_with_quarantine,
     read_parquet,
     read_parquet_evolving,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "read_csv",
     "read_csv_with_quarantine",
     "read_json",
+    "read_json_with_quarantine",
     "read_parquet",
     "read_parquet_evolving",
     "read_wds_csv",

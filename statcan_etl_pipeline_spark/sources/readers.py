@@ -81,3 +81,29 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     fine for a partition directory, so prefer a catalog-stored schema
     for full-table scans at 100 TB."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON twin of read_csv_with_quarantine: (good, bad) split with the
+    raw malformed line preserved for replay."""
+    base = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    with_corrupt = base.add(corrupt_col, "string")
+    df = (
+        spark.read.schema(with_corrupt)
+        .options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col, **options
+        )
+        .json(path)
+        .cache()
+    )
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

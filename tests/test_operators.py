@@ -318,3 +318,19 @@ def test_asof_forward_agrees_with_pandas_merge_asof(spark, sf_small):
     assert (
         merged["matched_view_id"].fillna(-1) == merged["view_id"].fillna(-1)
     ).all()
+
+
+def test_check_freshness_flags_stale_and_empty(spark):
+    from statcan_etl_pipeline_spark.operators.quality import check_freshness
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 11:00:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    fresh = check_freshness(df, "ts", "2024-01-01 11:30:00", 3600).collect()[0]
+    assert fresh["violations"] == 0
+    stale = check_freshness(df, "ts", "2024-01-02 00:00:00", 3600).collect()[0]
+    assert stale["violations"] == 1
+    empty = check_freshness(
+        df.filter(F.lit(False)), "ts", "2024-01-01 11:30:00", 3600
+    ).collect()[0]
+    assert empty["violations"] == 1  # empty table is NOT fresh

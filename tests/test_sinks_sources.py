@@ -165,3 +165,20 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None  # old files null-filled
     assert rows[2]["score"] == 9.5
+
+
+def test_json_quarantine_splits_malformed(spark, tmp_path):
+    from statcan_etl_pipeline_spark.sources.readers import read_json_with_quarantine
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alice"}\n'
+        '{"id": "NOT broken JSON but wrong type ok"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "name": "carol"}\n'
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), "id bigint, name string")
+    assert bad.count() >= 1  # the non-JSON line is quarantined
+    assert good.count() + bad.count() == 4
+    raws = [r[0] for r in bad.collect()]
+    assert any("not json at all" in r for r in raws)
