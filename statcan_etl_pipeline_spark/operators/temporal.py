@@ -178,7 +178,11 @@ def asof_join_nearest(
     the same key (pandas merge_asof(direction='nearest')); exact ties
     prefer the backward (earlier-or-equal) match. Built from the
     backward and forward passes over one union — the two windows share
-    the partitioning, so Catalyst plans one exchange + two sorts."""
+    the partitioning, so Catalyst plans one exchange + two sorts.
+
+    Requires left rows to be unique on (on, left_ts, payload) — the
+    back/forward recombination joins on those columns, so fully
+    duplicated left rows would multiply. Dedupe first if needed."""
     on = list(on)
     back = asof_join_backward(left, right, on, left_ts, right_ts, "__b_")
     fwd = asof_join_forward(left, right, on, left_ts, right_ts, "__f_")

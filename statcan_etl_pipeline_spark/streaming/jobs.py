@@ -160,6 +160,10 @@ def run_foreach_batch_upsert(
         staged = f"{target_path}__stage_{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
         spark.read.parquet(staged).write.mode("overwrite").parquet(target_path)
+        # drop the staging dir (Hadoop FS — works on HDFS/S3A too)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(staged)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
 
     q = (
         df.writeStream.foreachBatch(_merge)
