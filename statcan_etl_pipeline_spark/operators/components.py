@@ -167,8 +167,13 @@ def connected_components_star(
             stacklevel=2,
         )
     # fixpoint edges form stars (v → component root); add the roots and
-    # the isolated vertices
-    membership = e.select(F.col("src").alias("vertex"), F.col("dst").alias("component"))
+    # the isolated vertices. The min() keeps the one-label-per-vertex
+    # contract even if the loop exited unconverged (non-star edges).
+    membership = (
+        e.select(F.col("src").alias("vertex"), F.col("dst").alias("component"))
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
+    )
     verts = vertices.select(F.col(vertex_col).alias("vertex"))
     return (
         verts.join(membership, "vertex", "left")

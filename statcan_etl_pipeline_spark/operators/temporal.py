@@ -184,28 +184,34 @@ def asof_join_nearest(
     back/forward recombination joins on those columns, so fully
     duplicated left rows would multiply. Dedupe first if needed."""
     on = list(on)
-    back = asof_join_backward(left, right, on, left_ts, right_ts, "__b_")
-    fwd = asof_join_forward(left, right, on, left_ts, right_ts, "__f_")
+    back = asof_join_backward(left, right, on, left_ts, right_ts, "__b_").alias("b")
+    fwd = asof_join_forward(left, right, on, left_ts, right_ts, "__f_").alias("f")
     lcols = [c for c in left.columns if c not in on and c != left_ts]
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     join_keys = on + [left_ts] + lcols
-    both = back.join(fwd, join_keys)
-    b_ts, f_ts = F.col(f"__b_{right_ts}"), F.col(f"__f_{right_ts}")
+    # null-SAFE equality on every recombination key: a NULL payload
+    # column must not drop the left row (plain = would)
+    cond = None
+    for c in join_keys:
+        eq = F.col(f"b.{c}").eqNullSafe(F.col(f"f.{c}"))
+        cond = eq if cond is None else cond & eq
+    both = back.join(fwd, cond)
+    b_ts, f_ts = F.col(f"b.__b_{right_ts}"), F.col(f"f.__f_{right_ts}")
+    # microsecond precision: whole-second unix_timestamp would misrank
+    # sub-second gaps (and the events testdata carries nanos)
+    lt_us = F.unix_micros(F.col(f"b.{left_ts}"))
     take_back = F.when(b_ts.isNull(), F.lit(False)).otherwise(
         f_ts.isNull()
-        | (
-            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(b_ts)
-            <= F.unix_timestamp(f_ts) - F.unix_timestamp(F.col(left_ts))
-        )
+        | (lt_us - F.unix_micros(b_ts) <= F.unix_micros(f_ts) - lt_us)
     )
-    sel = [F.col(c) for c in join_keys]
+    sel = [F.col(f"b.{c}").alias(c) for c in join_keys]
     sel.append(
         F.when(take_back, b_ts).otherwise(f_ts).alias(f"{right_prefix}{right_ts}")
     )
     for c in rcols:
         sel.append(
-            F.when(take_back, F.col(f"__b_{c}"))
-            .otherwise(F.col(f"__f_{c}"))
+            F.when(take_back, F.col(f"b.__b_{c}"))
+            .otherwise(F.col(f"f.__f_{c}"))
             .alias(f"{right_prefix}{c}")
         )
     return both.select(*sel)

@@ -63,9 +63,13 @@ CMS_D = 4    # hash rows
 # 16-char hex alphabet in BOTH engines, so w = 256 effective buckets
 _CMS_BUCKET = "(ascii(substr(md5('cms{d}:' || {col}), 1, 1)) * 128 + ascii(substr(md5('cms{d}:' || {col}), 2, 1)))"
 
+# single source of truth for tokenization: functions/text.py (the Spark
+# side uses norm_text/tokens — a drifting hand-inlined copy here would
+# silently flake the oracle hash)
+from ..functions.text import sql_norm_text, sql_tokens  # noqa: E402
+
 _CMS_TOKS = (
-    "SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word "
-    "FROM documents"
+    f"SELECT unnest({sql_tokens(sql_norm_text('text'))}) AS word FROM documents"
 )
 
 

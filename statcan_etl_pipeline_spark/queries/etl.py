@@ -390,6 +390,9 @@ def _topk_spec(out_path: str) -> dict:
     }
 
 
+_TOPK_OUT: str | None = None
+
+
 @query(
     "pipeline_topk_per_segment",
     oracle="""
@@ -405,14 +408,18 @@ ORDER BY segment, rk
 """,
 )
 def pipeline_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    global _TOPK_OUT
+    if _TOPK_OUT is None:
+        # one process-wide staging dir, overwritten per invocation —
+        # repeated driver/bench runs must not accumulate temp dirs
+        import tempfile
 
+        _TOPK_OUT = tempfile.mkdtemp(prefix="pipeline_topk_") + "/t"
     tables = {
         "orders": load_table(spark, sf_dir, "orders"),
         "customer": load_table(spark, sf_dir, "customer"),
     }
-    out = tempfile.mkdtemp(prefix="pipeline_topk_") + "/t"
-    return run_pipeline(_topk_spec(out), tables)
+    return run_pipeline(_topk_spec(_TOPK_OUT), tables)
 
 
 # ---------------------------------------------------------------------------

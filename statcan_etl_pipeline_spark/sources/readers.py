@@ -4,6 +4,8 @@ production paths — schema inference is a full extra pass over the data
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -42,20 +44,24 @@ def read_csv_with_quarantine(
     corrupt_col: str = "_corrupt_record",
     header: bool = True,
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """PERMISSIVE CSV read that SPLITS clean rows from malformed ones
-    (the quarantine/dead-letter pattern): returns (good, bad). Bad rows
+    (the quarantine/dead-letter pattern): returns (good, bad, release).
+    Bad rows
     keep the raw line in `corrupt_col` for replay/debugging instead of
     silently nulling (PERMISSIVE default) or dropping (DROPMALFORMED) —
     at pipeline scale you always want the reject counts observable.
 
-    NB: Spark requires the corrupt-record column to be part of the
-    declared schema, and referencing ONLY the corrupt column needs a
-    cache/materialization barrier — hence the .cache() here (bounded:
-    only malformed rows are retained after the split).
+    Both splits derive from ONE cached PERMISSIVE read — the two parse
+    modes disagree on edge cases (DROPMALFORMED keeps type-cast
+    failures that PERMISSIVE marks corrupt), so a two-read split would
+    leak rows into neither/both sides. Spark also requires the cache:
+    a plan referencing only the corrupt column is disallowed otherwise.
+    The parsed input therefore stays cached (MEMORY_AND_DISK — spills,
+    evictable) until the returned `release()` is called; call it once
+    the splits are consumed/written.
     """
-    base = StructType.fromDDL(schema) if isinstance(schema, str) else schema
-    with_corrupt = base.add(corrupt_col, "string")
+    with_corrupt = _schema_with_corrupt(schema, corrupt_col)
     df = (
         spark.read.schema(with_corrupt)
         .options(
@@ -65,13 +71,34 @@ def read_csv_with_quarantine(
             **options,
         )
         .csv(path)
-        .cache()
     )
+    return _split_quarantine(df, corrupt_col)
+
+
+def _schema_with_corrupt(schema: StructType | str, corrupt_col: str) -> StructType:
+    """Copy-extend the schema (StructType.add MUTATES in place — a
+    caller-owned schema object must not grow a phantom column)."""
+    from pyspark.sql.types import StringType, StructField
+
+    base = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if corrupt_col in base.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    return StructType(list(base.fields) + [StructField(corrupt_col, StringType())])
+
+
+def _split_quarantine(df, corrupt_col: str):
+    """(good, bad, release): both splits over one cached parse; call
+    `release()` after consuming them to drop the cache."""
     from pyspark.sql import functions as F
 
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return good, bad
+    cached = df.cache()
+    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+
+    def release() -> None:
+        cached.unpersist()
+
+    return good, bad, release
 
 
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
@@ -89,21 +116,11 @@ def read_json_with_quarantine(
     schema: StructType | str,
     corrupt_col: str = "_corrupt_record",
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
-    """JSON twin of read_csv_with_quarantine: (good, bad) split with the
-    raw malformed line preserved for replay."""
-    base = StructType.fromDDL(schema) if isinstance(schema, str) else schema
-    with_corrupt = base.add(corrupt_col, "string")
-    df = (
-        spark.read.schema(with_corrupt)
-        .options(
-            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col, **options
-        )
-        .json(path)
-        .cache()
-    )
-    from pyspark.sql import functions as F
-
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return good, bad
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
+    """JSON twin of read_csv_with_quarantine: (good, bad, release) split
+    with the raw malformed line preserved for replay."""
+    with_corrupt = _schema_with_corrupt(schema, corrupt_col)
+    df = spark.read.schema(with_corrupt).options(
+        mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col, **options
+    ).json(path)
+    return _split_quarantine(df, corrupt_col)

@@ -144,11 +144,16 @@ def run_foreach_batch_upsert(
         batch_latest = upsert(
             batch_df.limit(0), batch_df, keys=keys, order_col=order_col
         )
-        try:
+        # probe existence via the FS API — a bare try/except around the
+        # read would treat a TRANSIENT read failure (throttle, network)
+        # as "no target yet" and silently overwrite the merged history
+        # with a single batch
+        jvm = spark._jvm
+        tpath = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = tpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        exists = fs.exists(tpath)
+        if exists:
             base = spark.read.parquet(target_path)
-            exists = True
-        except Exception:
-            exists = False
         if exists:
             merged = upsert(base, batch_latest, keys=keys, order_col=order_col)
         else:

@@ -334,3 +334,41 @@ def test_check_freshness_flags_stale_and_empty(spark):
         df.filter(F.lit(False)), "ts", "2024-01-01 11:30:00", 3600
     ).collect()[0]
     assert empty["violations"] == 1  # empty table is NOT fresh
+
+
+def test_asof_nearest_keeps_rows_with_null_payload(spark):
+    """Regression: the back/forward recombination must be null-SAFE —
+    a left row with a NULL payload column used to vanish entirely."""
+    from statcan_etl_pipeline_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", None), (1, "2024-01-01 11:00:00", "x")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "r1")], "k long, ts string, rv string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = asof_join_nearest(left, right, on=["k"]).collect()
+    assert len(rows) == 2  # NULL-payload row preserved
+    assert all(r["matched_rv"] == "r1" for r in rows)
+
+
+def test_star_components_single_label_even_unconverged(spark):
+    """Regression: with an exhausted iteration budget the star CC must
+    still return exactly one label per vertex (it may warn)."""
+    import warnings as w
+
+    from statcan_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 30
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        out = connected_components_star(verts, chain, max_iter=1).collect()
+    assert len(out) == n  # one row per vertex, converged or not
+    assert len({r["vertex"] for r in out}) == n

@@ -141,7 +141,7 @@ def test_csv_quarantine_splits_malformed(spark, tmp_path):
         "3,carol,7.25\n"
         "4,dave,\n"  # empty amount: null, NOT malformed
     )
-    good, bad = read_csv_with_quarantine(
+    good, bad, release = read_csv_with_quarantine(
         spark, str(p), "id bigint, name string, amount double"
     )
     assert good.count() == 3  # rows 1, 3, 4
@@ -149,6 +149,7 @@ def test_csv_quarantine_splits_malformed(spark, tmp_path):
     raw = bad.collect()[0][0]
     assert "not_a_number" in raw  # raw line preserved for replay
     assert "_corrupt_record" not in good.columns
+    release()  # drop the shared parse cache once consumed
 
 
 def test_parquet_merge_schema_evolution(spark, tmp_path):
@@ -177,8 +178,28 @@ def test_json_quarantine_splits_malformed(spark, tmp_path):
         "this is not json at all\n"
         '{"id": 3, "name": "carol"}\n'
     )
-    good, bad = read_json_with_quarantine(spark, str(p), "id bigint, name string")
+    good, bad, release = read_json_with_quarantine(
+        spark, str(p), "id bigint, name string"
+    )
     assert bad.count() >= 1  # the non-JSON line is quarantined
     assert good.count() + bad.count() == 4
     raws = [r[0] for r in bad.collect()]
     assert any("not json at all" in r for r in raws)
+    release()
+
+
+def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from statcan_etl_pipeline_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,a\nbroken,row,extra\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    for _ in range(2):  # second call used to hit a duplicate phantom column
+        good, bad, release = read_csv_with_quarantine(spark, str(p), schema)
+        assert good.count() == 1 and bad.count() == 1
+        release()
+    assert schema.fieldNames() == ["id", "name"]  # caller schema untouched
