@@ -161,3 +161,45 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_med):
+    """With a selective filter on the build side of a shuffle join,
+    Catalyst injects a runtime Bloom filter (might_contain on the fact
+    side) — rows that can't join are dropped AT THE SCAN instead of
+    shuffling 100 TB to discover they have no match. Thresholds lowered
+    to trigger at test scale (defaults: 10 GB application side)."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_med, "lineitem")
+        orders = load_table(spark, sf_med, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filter must not change results vs the bloom-less join
+        n_with = joined.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        n_without = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n_with == n_without > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
