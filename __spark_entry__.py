@@ -75,6 +75,7 @@ _CHECK_FIRST = [
     "date_arithmetic_demo",
     "null_semantics_demo",
     "kmv_distinct_parts",
+    "safe_cast_demo",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -369,3 +369,42 @@ def null_semantics_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", F.asc_nulls_first("status_or_null"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Safe-cast / safe-division semantics: try_cast returns NULL instead of
+# failing the job on dirty input — at pipeline scale one bad row must
+# not kill a 100 TB load. Sums stay fixed-point (cents) so the doubles
+# divide identically on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "safe_cast_demo",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT) AS n_numeric_prio,
+       CAST(count(TRY_CAST(o_orderstatus AS INTEGER)) AS BIGINT) AS n_numeric_status,
+       {MS("(o_totalprice / nullif(o_custkey % 5, 0))")} AS safe_div_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def safe_cast_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(
+                F.substring("o_orderpriority", 1, 1).try_cast("int")
+            ).cast("long").alias("n_numeric_prio"),
+            F.count(F.col("o_orderstatus").try_cast("int")).cast("long").alias(
+                "n_numeric_status"
+            ),
+            money_sum(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5)
+            ).alias("safe_div_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

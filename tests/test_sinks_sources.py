@@ -203,3 +203,37 @@ def test_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
         assert good.count() == 1 and bad.count() == 1
         release()
     assert schema.fieldNames() == ["id", "name"]  # caller schema untouched
+
+
+def test_parse_kafka_events_static_batch(spark):
+    """The Kafka value parser is a pure DataFrame function — prove it on
+    a static batch shaped like Kafka records (no broker needed)."""
+    import json
+
+    from statcan_etl_pipeline_spark.sources.kafka_shape import parse_kafka_events
+
+    def rec(offset, payload):
+        return (
+            bytearray(b"k"),
+            bytearray(json.dumps(payload).encode() if isinstance(payload, dict) else payload),
+            "events",
+            0,
+            offset,
+            "2024-01-01 10:00:00",
+        )
+
+    rows = [
+        rec(1, {"event_id": 10, "user_id": 7, "event_type": "view", "value": 1.5, "props": "{}"}),
+        rec(2, b"this is not json"),
+        rec(3, {"event_id": 11, "user_id": 8, "event_type": "purchase", "value": 9.0, "props": "{}"}),
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, timestamp string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    out = {r["offset"]: r for r in parse_kafka_events(records).collect()}
+    assert out[1]["event_type"] == "view" and out[1]["user_id"] == 7
+    assert out[3]["event_type"] == "purchase" and out[3]["value"] == 9.0
+    assert out[2]["is_malformed"] is True and out[2]["event_id"] is None
+    assert not out[1]["is_malformed"]
+    assert str(out[1]["ts"]) == "2024-01-01 10:00:00"
