@@ -1,6 +1,8 @@
 """Sources: schema-enforced parquet/CSV/JSON readers (with malformed-row
-quarantine + mergeSchema evolution) and the StatCan-WDS long-format reader."""
+quarantine + mergeSchema evolution), the StatCan-WDS long-format reader,
+and the Kafka-shaped record parser."""
 
+from .kafka_shape import kafka_events_stream, parse_kafka_events
 from .readers import (
     read_csv,
     read_csv_with_quarantine,
@@ -19,6 +21,7 @@ from .statcan_wds import (
 
 __all__ = [
     "build_dimension",
+    "kafka_events_stream",
     "latest_revision",
     "read_csv",
     "read_csv_with_quarantine",
@@ -26,6 +29,7 @@ __all__ = [
     "read_json_with_quarantine",
     "read_parquet",
     "read_parquet_evolving",
+    "parse_kafka_events",
     "read_wds_csv",
     "vector_series",
     "wds_schema",
