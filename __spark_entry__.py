@@ -76,6 +76,9 @@ _CHECK_FIRST = [
     "null_semantics_demo",
     "kmv_distinct_parts",
     "safe_cast_demo",
+    "basket_part_affinity",
+    "abc_part_classification",
+    "events_dau_wau",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -139,3 +139,197 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: part pairs co-occurring in the same order,
+# with lift = P(a,b) / (P(a)·P(b)) from exact integer counts. The pair
+# generation is an orderkey-bucketed self-join (the shingle-join
+# pattern) — never a cross join; per-order fanout is C(items, 2).
+# ---------------------------------------------------------------------------
+@query(
+    "basket_part_affinity",
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+part_n AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       {R("(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(pa.n_p AS DOUBLE) * CAST(pb.n_p AS DOUBLE)))", 4)} AS lift
+FROM pairs
+JOIN part_n pa ON pa.l_partkey = part_a
+JOIN part_n pb ON pb.l_partkey = part_b
+CROSS JOIN n_orders
+WHERE n_ab >= 3
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT 50
+""",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    pa = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_pa"))
+    pb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_pb"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            pround(
+                F.col("n_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("n_pa").cast("double") * F.col("n_pb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification: parts ranked by revenue; class A = first
+# 80% of cumulative revenue, B = to 95%, C = rest. Cumulative sums run
+# over exact integer cents; the class boundaries cross-multiply
+# integers so the comparison is exact on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "abc_part_classification",
+    oracle=f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_c,
+         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS BIGINT) AS cum_c,
+         CAST(sum(rev_c) OVER () AS BIGINT) AS tot_c
+  FROM pr
+), classed AS (
+  SELECT l_partkey, rev_c,
+         CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+              WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       (CAST(sum(rev_c) AS BIGINT) / 100.0) AS revenue
+FROM classed
+GROUP BY abc
+ORDER BY abc
+""",
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(rev * F.lit(100.0) + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    # the window runs over the POST-AGGREGATE part table (|parts| rows,
+    # not |lineitem|); at warehouse scale partition the cumsum by a
+    # category column instead of one global ordering
+    w_cum = W.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = pr.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w_cum).cast("long").alias("cum_c"),
+        F.sum("rev_c").over(w_tot).cast("long").alias("tot_c"),
+    )
+    abc = (
+        F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("rev_c", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.sum("rev_c").cast("long") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("abc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU engagement: daily actives, the trailing-7-day actives for
+# the same day, and the DAU/WAU stickiness ratio — exact distinct
+# counts, integer-ratio double.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dau_wau",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day_num,
+         user_id
+  FROM events
+), dau AS (
+  SELECT d, day_num, count(*) AS dau FROM du GROUP BY d, day_num
+), wau AS (
+  SELECT a.d, a.day_num, count(DISTINCT b.user_id) AS wau
+  FROM dau a JOIN du b ON b.day_num BETWEEN a.day_num - 6 AND a.day_num
+  GROUP BY a.d, a.day_num
+)
+SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       {R("(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE))", 4)} AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY dau.d
+""",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day_num"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("d", "day_num").agg(F.count(F.lit(1)).alias("dau"))
+    # trailing-7d distinct: range join day buckets (7× fanout, bounded)
+    b = du.select(F.col("day_num").alias("bday"), F.col("user_id").alias("buser"))
+    wau = (
+        dau.select("d", "day_num")
+        .join(
+            b,
+            (F.col("bday") >= F.col("day_num") - 6)
+            & (F.col("bday") <= F.col("day_num")),
+        )
+        .groupBy("d", "day_num")
+        .agg(F.countDistinct("buser").alias("wau"))
+    )
+    return (
+        dau.join(wau, ["d", "day_num"])
+        .select(
+            "d",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            pround(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
