@@ -79,6 +79,8 @@ _CHECK_FIRST = [
     "basket_part_affinity",
     "abc_part_classification",
     "events_dau_wau",
+    "doc_token_chunks",
+    "contamination_check",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -471,3 +471,125 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (round 2): fixed-size token windows with overlap —
+# the standard training-data prep step (context-window packing). Chunk
+# starts stride by (size - overlap); the tail keeps partial chunks so
+# no token is dropped. All JVM array ops (sequence/slice/concat_ws).
+# ---------------------------------------------------------------------------
+_CHUNK = 32
+_OVERLAP = 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "doc_token_chunks",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {_OVERLAP}, 1) + {_STRIDE} - 1, {_STRIDE})) AS start
+  FROM base
+)
+SELECT doc_id,
+       CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start:start+{_CHUNK - 1}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start:start+{_CHUNK - 1}], ' ') AS chunk_text
+FROM starts
+WHERE start <= len(toks)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    # chunk start positions 1, 1+stride, ... while start <= n_toks
+    starts = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks") - F.lit(_OVERLAP), F.lit(1))
+                + F.lit(_STRIDE - 1),
+                F.lit(_STRIDE),
+            )
+        ).alias("start"),
+    ).filter(F.col("start") <= F.size("toks"))
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(_STRIDE)).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (round 2): fraction of each document's
+# word 8-grams that appear in a "benchmark" set (docs 0-9 stand in for
+# an eval set) — the decontamination pass every LLM training pipeline
+# runs. Inverted-index shingle join against the DISTINCT benchmark
+# n-grams (broadcast — the benchmark is tiny next to the corpus).
+# ---------------------------------------------------------------------------
+_CONTAM_N = 8
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+grams AS (
+  SELECT doc_id, unnest({sql_word_shingles("toks", _CONTAM_N)}) AS g FROM base
+),
+doc_grams AS (SELECT DISTINCT doc_id, g FROM grams),
+bench AS (SELECT DISTINCT g FROM doc_grams WHERE doc_id < 10),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM doc_grams GROUP BY doc_id),
+hits AS (
+  SELECT d.doc_id, count(*) AS n_hits
+  FROM doc_grams d JOIN bench b ON d.g = b.g
+  WHERE d.doc_id >= 10
+  GROUP BY d.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       {R("(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE))", 6)} AS contamination
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+WHERE p.doc_id >= 10 AND p.n_grams > 0
+ORDER BY p.doc_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    grams = base.select(
+        "doc_id", F.explode(word_shingles("toks", _CONTAM_N)).alias("g")
+    )
+    doc_grams = grams.distinct()
+    bench = doc_grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    per_doc = (
+        doc_grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .filter((F.col("doc_id") >= 10) & (F.col("n_grams") > 0))
+    )
+    hits = (
+        doc_grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contaminated"),
+            pround(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
