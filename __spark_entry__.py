@@ -81,6 +81,8 @@ _CHECK_FIRST = [
     "events_dau_wau",
     "doc_token_chunks",
     "contamination_check",
+    "doc_greedy_packing",
+    "percentile_disc_order_value",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

@@ -408,3 +408,43 @@ def safe_cast_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles: percentile_disc returns an ACTUAL data value
+# (no interpolation), so the raw stored double round-trips bit-exactly
+# on both engines — no rounding needed at all.
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_disc_order_value",
+    oracle="""
+SELECT c_mktsegment,
+       quantile_disc(o_totalprice, 0.25) AS p25_disc,
+       quantile_disc(o_totalprice, 0.50) AS p50_disc,
+       quantile_disc(o_totalprice, 0.75) AS p75_disc,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def percentile_disc_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p25_disc"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p50_disc"),
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p75_disc"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )

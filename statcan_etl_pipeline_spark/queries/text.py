@@ -593,3 +593,62 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequential packing (round 2): pack documents into fixed-token
+# training bins in doc_id order per source — running token cumsum
+# div capacity assigns the bin; integer-only so both engines agree
+# exactly. (True FFD needs a sequential pass; the greedy-streaming form
+# is what a distributed pipeline actually runs — one window per
+# source partition, no global state.)
+# ---------------------------------------------------------------------------
+_PACK_CAP = 256
+
+
+@query(
+    "doc_greedy_packing",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+sized AS (
+  SELECT source, doc_id, len(toks) AS n_toks FROM base
+), placed AS (
+  SELECT source, doc_id, n_toks,
+         CAST(coalesce(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toks_before
+  FROM sized
+)
+SELECT source,
+       CAST(floor(toks_before / {_PACK_CAP}.0) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM placed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+""",
+)
+def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = _doc_base(spark, sf_dir)
+    sized = base.select("source", "doc_id", F.size("toks").alias("n_toks"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    placed = sized.withColumn(
+        "toks_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        placed.select(
+            "source",
+            (F.col("toks_before") / F.lit(_PACK_CAP)).cast("long").alias("bin_id"),
+            "n_toks",
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
