@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "contamination_check",
     "doc_greedy_packing",
     "percentile_disc_order_value",
+    "cdc_orders_diff",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

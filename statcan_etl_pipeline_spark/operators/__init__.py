@@ -8,7 +8,7 @@ from .dedup import (
     minhash_signature,
     minhash_signature_arrays,
 )
-from .incremental import scd2_history, upsert
+from .incremental import scd2_history, snapshot_diff, upsert
 from .joins import salted_join
 from .multimodal import (
     attach_binary_payload,
@@ -59,6 +59,7 @@ __all__ = [
     "scd2_history",
     "sessionize",
     "simhash_candidate_pairs",
+    "snapshot_diff",
     "simhash_signatures",
     "tumbling_window",
     "upsert",

@@ -53,3 +53,44 @@ def scd2_history(
     return df.withColumn("valid_from", F.col(effective_col)).withColumn(
         "valid_to", F.coalesce(nxt, F.lit(open_end_value))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    change_type ∈ {insert, delete, update}. Null-safe comparison on
+    `compare_cols` (default: all shared non-key columns), so NULL→value
+    and value→NULL both count as updates. One full-outer join on the
+    key — the standard snapshot-diff shape when the source has no
+    change log."""
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    o = old.select(keys + list(compare_cols)).alias("o")
+    n = new.select(keys + list(compare_cols)).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else changed | ne
+    change_type = (
+        F.when(o_key.isNull(), "insert")
+        .when(n_key.isNull(), "delete")
+        .when(changed if changed is not None else F.lit(False), "update")
+    )
+    out_keys = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys]
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(*out_keys, "change_type")
+    )

@@ -480,3 +480,58 @@ def statcan_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vector", "ref_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (round 2): orders v1 vs a synthetic v2 (price bump
+# for orderkey%97, deletes for %101, one inserted key range) — counts
+# per change type. operators/incremental.snapshot_diff.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_orders_diff",
+    oracle="""
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 500 = 0
+), o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+d AS (
+  SELECT coalesce(o.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN v2.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM v2.o_orderstatus THEN 'update'
+         END AS change_type
+  FROM o FULL OUTER JOIN v2 ON o.o_orderkey = v2.o_orderkey
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n
+FROM d WHERE change_type IS NOT NULL
+GROUP BY change_type
+ORDER BY change_type
+""",
+)
+def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 500 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10000000
+        )
+    )
+    diff = snapshot_diff(orders, v2, keys=["o_orderkey"])
+    return (
+        diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("change_type")
+    )
