@@ -84,6 +84,8 @@ _CHECK_FIRST = [
     "doc_greedy_packing",
     "percentile_disc_order_value",
     "cdc_orders_diff",
+    "full_outer_nation_coverage",
+    "dense_region_status_grid",
     # --- re-verify a representative slice of round-1-verified queries ---
     "q1_pricing_summary",
     "q9_product_profit",

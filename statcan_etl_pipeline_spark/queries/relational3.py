@@ -448,3 +448,105 @@ def percentile_disc_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join coverage: per-nation customer counts vs supplier
+# counts — nations missing from either side survive with zeros.
+# ---------------------------------------------------------------------------
+@query(
+    "full_outer_nation_coverage",
+    oracle="""
+WITH c AS (
+  SELECT n_name, count(*) AS n_cust
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal > 9000 GROUP BY n_name
+), s AS (
+  SELECT n_name, count(*) AS n_supp
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_suppkey % 3 = 0 GROUP BY n_name
+)
+SELECT coalesce(c.n_name, s.n_name) AS n_name,
+       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL OUTER JOIN s ON c.n_name = s.n_name
+ORDER BY n_name
+""",
+)
+def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 3 == 0)
+    nation = _t(spark, sf_dir, "nation")
+    c = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .alias("c")
+    )
+    s = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .alias("s")
+    )
+    return (
+        c.join(s, F.col("c.n_name") == F.col("s.n_name"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.n_name"), F.col("s.n_name")).alias("n_name"),
+            F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid densification: cross-join the full (region × status) dimension
+# grid, left-join facts, zero-fill — the standard dense-report pattern
+# (missing combinations must APPEAR with 0, not vanish).
+# ---------------------------------------------------------------------------
+@query(
+    "dense_region_status_grid",
+    oracle="""
+WITH grid AS (
+  SELECT r_name, s FROM region
+  CROSS JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders)
+), facts AS (
+  SELECT r_name, o_orderstatus AS s, count(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE o_totalprice > 450000
+  GROUP BY r_name, s
+)
+SELECT grid.r_name AS r_name, grid.s AS status,
+       CAST(coalesce(n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN facts ON grid.r_name = facts.r_name AND grid.s = facts.s
+ORDER BY grid.r_name, status
+""",
+)
+def dense_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    statuses = orders.select(F.col("o_orderstatus").alias("s")).distinct()
+    grid = region.select("r_name").crossJoin(statuses)
+    facts = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.col("o_orderstatus").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(facts, ["r_name", "s"], "left")
+        .select(
+            "r_name",
+            F.col("s").alias("status"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("r_name", "status")
+    )
