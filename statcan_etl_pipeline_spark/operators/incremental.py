@@ -71,21 +71,26 @@ def snapshot_diff(
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in keys]
-    o = old.select(keys + list(compare_cols)).alias("o")
-    n = new.select(keys + list(compare_cols)).alias("n")
+    # Presence markers instead of key-null checks: keys join null-safely
+    # (NULL is a key value), so a NULL key no longer signals "side absent".
+    o = old.select(keys + list(compare_cols)).withColumn(
+        "__o_present", F.lit(True)
+    ).alias("o")
+    n = new.select(keys + list(compare_cols)).withColumn(
+        "__n_present", F.lit(True)
+    ).alias("n")
     cond = None
     for k in keys:
-        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
-    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
     changed = None
     for c in compare_cols:
         ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         changed = ne if changed is None else changed | ne
     change_type = (
-        F.when(o_key.isNull(), "insert")
-        .when(n_key.isNull(), "delete")
+        F.when(F.col("__o_present").isNull(), "insert")
+        .when(F.col("__n_present").isNull(), "delete")
         .when(changed if changed is not None else F.lit(False), "update")
     )
     out_keys = [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys]

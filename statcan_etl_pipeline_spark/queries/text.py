@@ -498,7 +498,7 @@ SELECT doc_id,
        CAST(len(toks[start:start+{_CHUNK - 1}]) AS BIGINT) AS n_tokens,
        array_to_string(toks[start:start+{_CHUNK - 1}], ' ') AS chunk_text
 FROM starts
-WHERE start <= len(toks)
+WHERE start = 1 OR start <= len(toks) - {_OVERLAP}
 ORDER BY doc_id, chunk_idx
 """,
 )
@@ -516,7 +516,12 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_STRIDE),
             )
         ).alias("start"),
-    ).filter(F.col("start") <= F.size("toks"))
+    ).filter(
+        # A start past len-overlap would yield a chunk fully contained in
+        # the previous one (pure duplicate content); keep start=1 so short
+        # docs still emit their single chunk.
+        (F.col("start") == 1) | (F.col("start") <= F.size("toks") - F.lit(_OVERLAP))
+    )
     chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK)
     return starts.select(
         "doc_id",

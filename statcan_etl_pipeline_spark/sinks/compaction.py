@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
@@ -76,9 +76,41 @@ def compact_parquet(
     df = spark.read.parquet(path)
     n = before["target_files"]
     if partition_cols:
-        df.repartition(n, *[F.col(c) for c in partition_cols]).write.mode(
-            "overwrite"
-        ).partitionBy(*partition_cols).parquet(out_path)
+        # Repartitioning by the partition columns alone would collapse
+        # every hive partition into a single task/file no matter its
+        # size. Instead, estimate each partition's bytes from its row
+        # share, derive a per-partition file count, and salt rows within
+        # the partition over that many groups so oversized partitions
+        # still split into ~target_bytes files.
+        pcols = list(partition_cols)
+        counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__rows"))
+        total_rows = F.sum("__rows").over(W.partitionBy())
+        counts = counts.withColumn(
+            "__files",
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("__rows")
+                    * F.lit(float(before["total_bytes"]))
+                    / total_rows
+                    / F.lit(float(target_bytes))
+                ),
+            ),
+        )
+        salted = (
+            df.join(F.broadcast(counts), pcols)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__files")),
+            )
+        )
+        (
+            salted.repartition(n, *[F.col(c) for c in pcols], F.col("__salt"))
+            .drop("__rows", "__files", "__salt")
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(out_path)
+        )
     else:
         df.repartition(n).write.mode("overwrite").parquet(out_path)
     after = compaction_plan(list_data_files(spark, out_path), target_bytes)

@@ -6,6 +6,7 @@ from .jobs import (
     deduped_stream,
     events_stream,
     purchases_after_views_join,
+    read_merge_target,
     run_available_now,
     run_foreach_batch_upsert,
     session_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "deduped_stream",
     "events_stream",
     "purchases_after_views_join",
+    "read_merge_target",
     "run_available_now",
     "run_foreach_batch_upsert",
     "session_counts",

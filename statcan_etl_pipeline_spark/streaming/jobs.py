@@ -119,6 +119,35 @@ def deduped_stream(
     )
 
 
+def _committed_versions(spark, target_path: str) -> list[str]:
+    """Version dirs under `target_path` that finished their write (the
+    `_SUCCESS` marker — written LAST by Spark's commit protocol — is the
+    commit record). Sorted ascending; zero-padded names make the
+    lexicographic max the numeric max."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+def read_merge_target(spark, target_path: str) -> DataFrame:
+    """Read the latest committed version of a `run_foreach_batch_upsert`
+    target. Raises if no version has been committed yet."""
+    versions = _committed_versions(spark, target_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed version under {target_path}")
+    return spark.read.parquet(f"{target_path}/{versions[-1]}")
+
+
 def run_foreach_batch_upsert(
     df: DataFrame,
     target_path: str,
@@ -132,9 +161,16 @@ def run_foreach_batch_upsert(
     Structured Streaming reaches sinks/logic the streaming API can't
     express (multi-table writes, JDBC upserts, MERGE).
 
-    The read-merge-overwrite here is the local-parquet stand-in for a
-    transactional MERGE; at scale the body swaps for Delta/Iceberg
-    `MERGE INTO` with the identical upsert semantics
+    Durability: each merge writes a NEW immutable version dir
+    `{target}/v{batch_id}` and never rewrites a committed one, so a
+    crash at any point loses at most the in-flight version — a version
+    only counts once Spark's commit protocol drops its `_SUCCESS`
+    marker (written last), and readers (`read_merge_target`) resolve
+    the latest committed version. Checkpoint replay of a batch re-merges
+    into the same version dir; latest-wins upsert is value-idempotent,
+    so replay converges to identical table contents. A real lakehouse
+    table (Delta/Iceberg `MERGE INTO`) replaces this whole mechanism
+    with one transaction; the upsert semantics are identical
     (operators/incremental.upsert).
     """
     from ..operators.incremental import upsert
@@ -144,31 +180,26 @@ def run_foreach_batch_upsert(
         batch_latest = upsert(
             batch_df.limit(0), batch_df, keys=keys, order_col=order_col
         )
-        # probe existence via the FS API — a bare try/except around the
-        # read would treat a TRANSIENT read failure (throttle, network)
-        # as "no target yet" and silently overwrite the merged history
-        # with a single batch
-        jvm = spark._jvm
-        tpath = jvm.org.apache.hadoop.fs.Path(target_path)
-        fs = tpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        exists = fs.exists(tpath)
-        if exists:
-            base = spark.read.parquet(target_path)
-        if exists:
+        # Resolve the base from committed versions only — a bare
+        # try/except read of the target would treat a TRANSIENT failure
+        # as "no target yet" and silently restart history.
+        versions = _committed_versions(spark, target_path)
+        # On replay, the crash may have happened AFTER this batch's
+        # version committed; merging the batch into its own output is
+        # value-idempotent (latest-wins), so resolving "latest" is safe.
+        if versions:
+            base = spark.read.parquet(f"{target_path}/{versions[-1]}")
             merged = upsert(base, batch_latest, keys=keys, order_col=order_col)
         else:
             merged = batch_latest
-        # parquet can't overwrite a path that the plan is still lazily
-        # reading: stage the merge to a batch-scoped temp dir, then
-        # rewrite the target from the staged copy (a real lakehouse
-        # MERGE makes this one transaction instead).
-        staged = f"{target_path}__stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        spark.read.parquet(staged).write.mode("overwrite").parquet(target_path)
-        # drop the staging dir (Hadoop FS — works on HDFS/S3A too)
+        vdir = f"{target_path}/v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(vdir)
+        # GC: keep the new version plus one predecessor for readers
+        # mid-resolve; drop anything older.
         jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(staged)
-        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+        for old in _committed_versions(spark, target_path)[:-2]:
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{old}")
+            hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
 
     q = (
         df.writeStream.foreachBatch(_merge)

@@ -55,6 +55,33 @@ def test_compaction_preserves_hive_partitions(spark, sf_small):
     assert back.count() == orders.count()
 
 
+def test_compaction_splits_oversized_hive_partition(spark, sf_small):
+    """A hive partition larger than target_bytes must split into
+    multiple ~target-size files, not collapse into one file per
+    partition dir."""
+    src = _tmp("frag_big_src_")
+    out = _tmp("compact_big_out_")
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "bucket", F.when(F.col("o_orderkey") % 20 == 0, "small").otherwise("big")
+    )
+    orders.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(src)
+    total = sum(sz for _, sz in list_data_files(spark, src))
+    # target ~1/6 of the data => the "big" (~95%) partition needs >=2 files
+    stats = compact_parquet(
+        spark, src, out, target_bytes=max(total // 6, 1), partition_cols=["bucket"]
+    )
+    big_files = [
+        p for p, _ in list_data_files(spark, out) if "/bucket=big/" in p
+    ]
+    small_files = [
+        p for p, _ in list_data_files(spark, out) if "/bucket=small/" in p
+    ]
+    assert len(big_files) >= 2, big_files
+    assert len(small_files) == 1, small_files
+    assert spark.read.parquet(out).count() == orders.count()
+    assert stats["after"]["n_files"] == len(big_files) + len(small_files)
+
+
 def test_compaction_plan_stats():
     plan = compaction_plan([("a", 10), ("b", 20), ("c", 1000)], target_bytes=100)
     assert plan["n_files"] == 3

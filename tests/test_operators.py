@@ -372,3 +372,50 @@ def test_star_components_single_label_even_unconverged(spark):
         out = connected_components_star(verts, chain, max_iter=1).collect()
     assert len(out) == n  # one row per vertex, converged or not
     assert len({r["vertex"] for r in out}) == n
+
+
+def test_snapshot_diff_null_key_rows(spark):
+    """Regression (ADVICE r2): keys compare null-safely — an unchanged
+    NULL-keyed row must NOT be reported, and an updated NULL-keyed row
+    is a single update, never a delete+insert pair."""
+    from statcan_etl_pipeline_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "same"), (1, "a"), (2, "gone")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same"), (1, "b"), (3, "new")], "k long, v string"
+    )
+    rows = {(r["k"], r["change_type"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows == {(1, "update"), (2, "delete"), (3, "insert")}
+
+    new2 = spark.createDataFrame([(None, "CHANGED"), (1, "a"), (2, "gone")], "k long, v string")
+    rows2 = {(r["k"], r["change_type"]) for r in snapshot_diff(old, new2, ["k"]).collect()}
+    assert rows2 == {(None, "update")}
+
+
+def test_doc_token_chunks_no_contained_chunk(spark):
+    """Regression (ADVICE r2): the final stride start must not land past
+    len-overlap, which yielded a trailing chunk fully contained in the
+    previous one. Every non-first chunk now carries > overlap tokens
+    (i.e. at least one token the previous chunk doesn't end with), and
+    the last chunk still reaches the document's end."""
+    from statcan_etl_pipeline_spark.queries.text import _CHUNK, _OVERLAP
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    out = QUERIES["doc_token_chunks"](spark, "/root/testdata/sf0.001")
+    bad = out.filter((F.col("chunk_idx") > 0) & (F.col("n_tokens") <= _OVERLAP))
+    assert bad.count() == 0
+    # coverage: per doc, tokens spanned = stride*(n_chunks-1) + last size
+    stride = _CHUNK - _OVERLAP
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("chunk_idx") * stride + F.col("n_tokens")).alias("span_end"),
+        F.sum(F.col("n_tokens")).alias("tok_total"),
+    )
+    # every chunked doc spans a contiguous prefix [1, span_end]; chunks
+    # overlap by exactly `overlap` tokens except possibly the last
+    chk = per_doc.filter(
+        F.col("tok_total") != (F.col("n_chunks") - 1) * F.lit(_OVERLAP) + F.col("span_end")
+    )
+    assert chk.count() == 0

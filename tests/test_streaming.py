@@ -153,6 +153,7 @@ def test_foreach_batch_upsert_latest_wins(spark, sf_small):
 
     from statcan_etl_pipeline_spark.streaming.jobs import (
         events_stream,
+        read_merge_target,
         run_foreach_batch_upsert,
     )
 
@@ -165,7 +166,7 @@ def test_foreach_batch_upsert_latest_wins(spark, sf_small):
     run_foreach_batch_upsert(
         slim, target, keys=["user_id"], order_col="event_id", checkpoint_dir=ckpt
     )
-    got = spark.read.parquet(target)
+    got = read_merge_target(spark, target)
     ev = load_table(spark, sf_small, "events")
     # one row per user, and it is the max-event_id row for that user
     assert got.count() == ev.select("user_id").distinct().count()
@@ -178,6 +179,40 @@ def test_foreach_batch_upsert_latest_wins(spark, sf_small):
         .count()
     )
     assert mismatches == 0
+
+
+def test_foreach_batch_upsert_replay_idempotent(spark, sf_small):
+    """Crash-replay semantics: re-processing the SAME micro-batch against
+    an already-merged target (fresh checkpoint => batch 0 replays) must
+    leave the table contents identical — the latest-wins MERGE is
+    value-idempotent, so exactly-once EFFECT holds even though the
+    batch runs twice."""
+    import tempfile
+
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        events_stream,
+        read_merge_target,
+        run_foreach_batch_upsert,
+    )
+
+    target = tempfile.mkdtemp(prefix="upsert_replay_") + "/t"
+    raw = events_stream(spark, _stage_dir(sf_small), _stream_schema(spark, sf_small))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    slim = raw.select("user_id", "event_id", "ts", "event_type")
+
+    def run_once():
+        ckpt = tempfile.mkdtemp(prefix="upsert_replay_ckpt_")
+        run_foreach_batch_upsert(
+            slim, target, keys=["user_id"], order_col="event_id", checkpoint_dir=ckpt
+        )
+        return sorted(
+            tuple(r) for r in read_merge_target(spark, target).collect()
+        )
+
+    first = run_once()
+    second = run_once()  # replay: same data, same batch ids, committed target
+    assert first == second
 
 
 def test_rate_source_windowed_counts_smoke(spark):
