@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "dedup_embedding_lsh",
     "doc_greedy_packing_sharded",
     "ann_ivfpq_cosine",
+    "ann_sq_cosine",
     "doc_token_chunks",  # ADVICE fix changed its output; must re-verify
     # --- rows-only by design (driver records weaker rows check) ---
     "approx_distinct_parts_by_flag",

@@ -17,10 +17,15 @@ from pyspark.sql import functions as F
 _SCALE = "1000000000.0"
 
 
-def dot_fixed(a: str, b: str) -> Column:
-    """Int64 fixed-point dot product of two array<float> columns."""
+def _c(x: str | Column) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def dot_fixed(a: str | Column, b: str | Column) -> Column:
+    """Int64 fixed-point dot product of two array<float|double> columns
+    (column names or Column expressions, e.g. a literal plane array)."""
     prod = F.zip_with(
-        F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
     )
     fixed = F.transform(
         prod,
@@ -40,6 +45,33 @@ def sql_dot_fixed(a: str, b: str) -> str:
     return (
         f"CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {fixed})) AS BIGINT)"
     )
+
+
+def sqdist_fixed(a: str | Column, b: str | Column) -> Column:
+    """Int64 fixed-point squared L2 distance — each (x-y)^2 term is
+    rounded to 1e-9 then summed exactly, so argmin over codebook
+    centroids is engine-exact (see sql_sqdist_fixed)."""
+    diff = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    fixed = F.transform(
+        diff, lambda d: F.floor(d * d * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    return F.aggregate(fixed, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def sql_sqdist_fixed(a: str, b: str, offset: str = "0", n: int = 16) -> str:
+    """DuckDB twin of sqdist_fixed over `a[offset+1 .. offset+n]` vs
+    `b[1 .. n]` — `offset` is a SQL expression (e.g. `bk.m * 16`)."""
+    d = f"(CAST({a}[i + ({offset})] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    fixed = f"CAST(floor({d} * {d} * {_SCALE} + 0.5) AS BIGINT)"
+    return f"CAST(list_sum(list_transform(range(1, {n} + 1), i -> {fixed})) AS BIGINT)"
+
+
+def sql_list_lit(row: list[float]) -> str:
+    """A DuckDB double-list literal from Python floats (repr round-trips
+    exactly, so both engines see bit-identical constants)."""
+    return "[" + ", ".join(repr(float(v)) for v in row) + "]"
 
 
 def cosine(a: str, b: str) -> Column:

@@ -34,6 +34,7 @@ from ..operators.dedup import (
 )
 from ..operators.simhash import simhash_oracle_sql, simhash_signatures
 from ..registry import query
+from .similarity import lsh_bucket, sql_lsh_bucket
 
 _NORM_SQL = sql_norm_text("text")
 JACCARD_TAU = 0.05
@@ -209,14 +210,98 @@ ORDER BY vec_a, vec_b
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Brute-force O(n²) — correct baseline and the oracle target. At
-    # scale, generate candidates with random-hyperplane LSH
-    # (similarity.ann_lsh_cosine) and verify only within buckets.
+    # Brute-force O(n²) — correct baseline and the oracle target for
+    # SMALL inputs only. The scale path is dedup_embedding_lsh below:
+    # same verify step, but candidates come from LSH buckets instead of
+    # an all-pairs join.
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", pround(cosine("emb_a", "emb_b"), 6))
+        .filter(F.col("cosine") >= COS_TAU)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup at scale (round 3): multi-table LSH candidates →
+# exact-cosine verify within candidates only. T independent hyperplane
+# tables OR-amplify recall (a pair is a candidate if ANY table buckets
+# it together); the plan is T bucket-equi-joins + a distinct — no
+# cartesian product anywhere. The oracle reproduces the md5-derived
+# buckets in SQL, so this is a fully hash-checked scale path (unlike
+# the brute-force baseline above, which stays as the small-input check).
+# ---------------------------------------------------------------------------
+LSH_TABLES = 3
+
+
+def _lsh_table_prefix(t: int) -> str:
+    return f"tbl{t}"
+
+
+_SQL_LSH_BUCKETS = ", ".join(
+    f"{sql_lsh_bucket('embedding', _lsh_table_prefix(t))} AS b{t}"
+    for t in range(LSH_TABLES)
+)
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH buck AS (
+  SELECT vec_id, embedding, {_SQL_LSH_BUCKETS}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b
+    ON a.vec_id < b.vec_id
+   AND ({" OR ".join(f"a.b{t} = b.b{t}" for t in range(LSH_TABLES))})
+),
+verified AS (
+  SELECT cand.vec_a, cand.vec_b,
+         {R(sql_cosine("ea.embedding", "eb.embedding"), 6)} AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM verified
+WHERE cosine >= {COS_TAU}
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup: candidates from T=3 independent
+    sign-bucket tables (union + distinct), exact cosine verify on the
+    candidate set only. One shuffle per table on the bucket key plus
+    two id-equi-joins for the verify — survives 100× where the
+    brute-force baseline's inequality join cannot."""
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    buck = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            lsh_bucket("embedding", _lsh_table_prefix(t)).alias(f"b{t}")
+            for t in range(LSH_TABLES)
+        ],
+    )
+    cand = None
+    for t in range(LSH_TABLES):
+        a = buck.select(F.col("vec_id").alias("vec_a"), F.col(f"b{t}").alias("bk"))
+        b = buck.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bk"))
+        part = a.join(b, ["bk"]).filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, ["vec_a"])
+        .join(eb, ["vec_b"])
         .withColumn("cosine", pround(cosine("emb_a", "emb_b"), 6))
         .filter(F.col("cosine") >= COS_TAU)
         .select("vec_a", "vec_b", "cosine")

@@ -6,8 +6,11 @@
 - ann_lsh_cosine: random-hyperplane LSH bucketing — the 100 TB path
   (candidates only within buckets; one shuffle on bucket key instead
   of an O(n²) cross join). Hyperplanes are derived deterministically
-  from md5, so results are reproducible; rows-only driver check, with
-  structural assertions in tests/test_similarity.py.
+  from md5 and all scoring is FIXED-POINT int64 (functions/vectors.py),
+  so bucket signs / cell argmax / code argmin are bit-identical across
+  engines — the whole ANN family is fully DuckDB-oracle-checked, with
+  the md5 constants inlined into the oracle SQL as list literals
+  (the same portability technique as queries/approx.py's CMS/KMV).
 """
 
 from __future__ import annotations
@@ -19,7 +22,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, scatter
 from ..functions.portable import pround, sql_round as R
-from ..functions.vectors import cosine, sql_cosine
+from ..functions.vectors import (
+    cosine,
+    dot_fixed,
+    sql_cosine,
+    sql_dot_fixed,
+    sql_list_lit,
+    sql_sqdist_fixed,
+    sqdist_fixed,
+)
 from ..registry import query
 
 N_QUERIES = 5
@@ -65,31 +76,41 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+def _hyperplanes(
+    n_planes: int = N_PLANES, dim: int = DIM, prefix: str = "plane"
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible
-    across sessions and engines (no RNG state)."""
+    across sessions and engines (no RNG state). `prefix` seeds an
+    independent table (OR-amplified multi-table LSH)."""
     planes = []
     for j in range(n_planes):
         row = []
         for i in range(dim):
-            h = hashlib.md5(f"plane:{j}:{i}".encode()).hexdigest()
+            h = hashlib.md5(f"{prefix}:{j}:{i}".encode()).hexdigest()
             row.append(int(h[:8], 16) / float(1 << 32) - 0.5)
         planes.append(row)
     return planes
 
 
-def lsh_bucket(emb_col: str) -> F.Column:
-    """Sign-bit bucket key from the deterministic hyperplanes."""
+def lsh_bucket(emb_col: str, prefix: str = "plane") -> F.Column:
+    """Sign-bit bucket key from the deterministic hyperplanes.
+    Fixed-point dots, so the sign test is engine-exact."""
     bits = []
-    for row in _hyperplanes():
+    for row in _hyperplanes(prefix=prefix):
         plane = F.array(*[F.lit(v) for v in row])
-        dot = F.aggregate(
-            F.zip_with(F.col(emb_col), plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        dot = dot_fixed(F.col(emb_col), plane)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def sql_lsh_bucket(emb: str, prefix: str = "plane") -> str:
+    """DuckDB twin of lsh_bucket (hyperplanes inlined as literals)."""
+    bits = [
+        f"CASE WHEN {sql_dot_fixed(emb, sql_list_lit(row))} >= 0 "
+        "THEN '1' ELSE '0' END"
+        for row in _hyperplanes(prefix=prefix)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
 
 
 def _centroids(n_cells: int = 8, dim: int = DIM) -> list[list[float]]:
@@ -107,17 +128,12 @@ def _centroids(n_cells: int = 8, dim: int = DIM) -> list[list[float]]:
 
 
 def _cell_scores(emb_col: str):
-    """Dot product against every centroid (codegen'd, no Python)."""
+    """Fixed-point dot against every centroid (codegen'd, no Python) —
+    argmax over int64 scores is engine-exact."""
     scores = []
     for row in _centroids():
         cen = F.array(*[F.lit(v) for v in row])
-        scores.append(
-            F.aggregate(
-                F.zip_with(F.col(emb_col), cen, lambda x, p: x.cast("double") * p),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
+        scores.append(dot_fixed(F.col(emb_col), cen))
     return scores
 
 
@@ -132,13 +148,58 @@ def assign_cells(df, emb_col: str, nprobe: int = 1):
         return df.withColumn("cells", F.array(F.col("_c1"))).drop("_s", "_c1")
     masked = F.transform(
         F.col("_s"),
-        lambda x, i: F.when(i == F.col("_c1"), F.lit(-1e300)).otherwise(x),
+        lambda x, i: F.when(i == F.col("_c1"), F.lit(-(1 << 62))).otherwise(x),
     )
     best2 = (F.array_position(masked, F.array_max(masked)) - 1).cast("int")
     return df.withColumn("cells", F.array(F.col("_c1"), best2)).drop("_s", "_c1")
 
 
-@query("ann_ivf_cosine")  # rows-only: IVF cells aren't SQL-oracle-expressible cheaply
+def _sql_cents() -> str:
+    """`cents(cell, cvec)` VALUES CTE body with the md5 centroids."""
+    rows = ", ".join(
+        f"({c}, {sql_list_lit(row)})" for c, row in enumerate(_centroids())
+    )
+    return f"cents(cell, cvec) AS (VALUES {rows})"
+
+
+# rc ranks every (vector, centroid) pair by fixed-point dot DESC with
+# cell-ascending tie-break — identical to assign_cells' array_position
+# first-match argmax (rnk=1 = best cell, rnk<=2 = nprobe 2).
+_SQL_IVF_RC = f"""
+rc AS (
+  SELECT e.vec_id, e.embedding, ct.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {sql_dot_fixed('e.embedding', 'ct.cvec')} DESC, ct.cell
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents ct
+)"""
+
+
+@query(
+    "ann_ivf_cosine",
+    oracle=f"""
+WITH {_sql_cents()},
+{_SQL_IVF_RC},
+cand AS (SELECT vec_id AS neighbor_id, embedding AS emb_c, cell FROM rc WHERE rnk = 1),
+qs AS (SELECT vec_id AS query_id, embedding AS emb_q, cell
+       FROM rc WHERE vec_id < {N_QUERIES} AND rnk <= 2),
+pairs AS (
+  SELECT qs.query_id, cand.neighbor_id, cand.cell,
+         {R(sql_cosine('qs.emb_q', 'cand.emb_c'), 6)} AS cosine
+  FROM cand JOIN qs ON cand.cell = qs.cell AND cand.neighbor_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cosine, cell
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: candidates restricted to the query's nprobe=2
     coarse cells; vectors carry a single best cell. At scale the
@@ -169,7 +230,31 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_cosine")  # rows-only: LSH bucketing isn't SQL-oracle-expressible cheaply
+@query(
+    "ann_lsh_cosine",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         {R(sql_cosine('q.embedding', 'c.embedding'), 6)} AS cosine
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cosine, bucket
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
@@ -229,17 +314,14 @@ def _subvec(emb_col: str, m: int) -> F.Column:
 
 def pq_encode(df, emb_col: str = "embedding"):
     """Add code_0..code_{M-1}: nearest-centroid index per sub-space
-    (squared-distance argmin, first-match deterministic tie-break).
-    All JVM-side array math inside codegen."""
+    (fixed-point squared-distance argmin, first-match deterministic
+    tie-break — engine-exact). All JVM-side array math inside codegen."""
     for m in range(PQ_M):
         sub = _subvec(emb_col, m)
-        dists = []
-        for row in _pq_codebook(m):
-            cen = F.array(*[F.lit(v) for v in row])
-            diff = F.zip_with(sub, cen, lambda x, c: x.cast("double") - c)
-            dists.append(
-                F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)
-            )
+        dists = [
+            sqdist_fixed(sub, F.array(*[F.lit(v) for v in row]))
+            for row in _pq_codebook(m)
+        ]
         darr = F.array(*dists)
         df = df.withColumn(
             f"code_{m}", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
@@ -259,7 +341,60 @@ def pq_decode(df):
     return df.withColumn("reconstructed", F.concat(*parts))
 
 
-@query("ann_pq_cosine")  # rows-only: PQ codebooks aren't SQL-oracle-expressible cheaply
+def _sql_books() -> str:
+    """`books(m, code, bvec)` VALUES CTE with all M×K PQ centroids."""
+    rows = ", ".join(
+        f"({m}, {k}, {sql_list_lit(row)})"
+        for m in range(PQ_M)
+        for k, row in enumerate(_pq_codebook(m))
+    )
+    return f"books(m, code, bvec) AS (VALUES {rows})"
+
+
+# enc ranks every (vector, sub-space, centroid) triple by fixed-point
+# squared distance ASC with code-ascending tie-break — identical to
+# pq_encode's array_position first-match argmin; rnk=1 is the code.
+# recon rebuilds the decoded vector by concatenating the chosen
+# centroids in sub-space order (pq_decode's F.concat twin).
+_SQL_PQ_RECON = f"""
+enc AS (
+  SELECT e.vec_id, bk.m, bk.code, bk.bvec,
+         row_number() OVER (
+           PARTITION BY e.vec_id, bk.m
+           ORDER BY {sql_sqdist_fixed('e.embedding', 'bk.bvec', 'bk.m * ' + str(PQ_SUBDIM), PQ_SUBDIM)} ASC, bk.code
+         ) AS rnk
+  FROM embeddings e CROSS JOIN books bk
+),
+recon AS (
+  SELECT vec_id, flatten(list(bvec ORDER BY m)) AS reconstructed
+  FROM enc WHERE rnk = 1 GROUP BY vec_id
+)"""
+
+
+@query(
+    "ann_pq_cosine",
+    oracle=f"""
+WITH {_sql_books()},
+{_SQL_PQ_RECON},
+qs AS (SELECT vec_id AS query_id, embedding AS emb_q
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT qs.query_id, r.vec_id AS neighbor_id,
+         {R(sql_cosine('qs.emb_q', 'r.reconstructed'), 6)} AS approx_cosine
+  FROM recon r CROSS JOIN qs
+  WHERE r.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, approx_cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
 def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: rank candidates by cosine(query, decode(encode(vector))).
     Queries stay full-precision (asymmetric distance computation); the
@@ -269,6 +404,216 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("reconstructed").alias("emb_c"),
         *[F.col(f"code_{m}") for m in range(PQ_M)],
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (round 3): the production billion-vector layout — coarse IVF
+# cells bound the candidate set (shuffle once on cell id), PQ codes
+# bound per-vector memory (M small ints instead of DIM floats). Search:
+# probe the query's nprobe cells, score full-precision query against
+# DECODED candidates (asymmetric distance), top-k per query.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_ivfpq_cosine",
+    oracle=f"""
+WITH {_sql_cents()},
+{_SQL_IVF_RC},
+{_sql_books()},
+{_SQL_PQ_RECON.lstrip()},
+cand AS (
+  SELECT rc.vec_id AS neighbor_id, r.reconstructed AS emb_c, rc.cell
+  FROM rc JOIN recon r ON r.vec_id = rc.vec_id
+  WHERE rc.rnk = 1
+),
+qs AS (SELECT vec_id AS query_id, embedding AS emb_q, cell
+       FROM rc WHERE vec_id < {N_QUERIES} AND rnk <= 2),
+pairs AS (
+  SELECT qs.query_id, cand.neighbor_id, cand.cell,
+         {R(sql_cosine('qs.emb_q', 'cand.emb_c'), 6)} AS approx_cosine
+  FROM cand JOIN qs ON cand.cell = qs.cell AND cand.neighbor_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell, approx_cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, approx_cosine, cell
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: candidates carry (cell, PQ codes) only; queries stay
+    full precision and probe nprobe=2 cells. At 100 TB the inverted
+    lists are the partitioning and the PQ codes are the only per-vector
+    state — 64 floats → 4 int codes is what lets a billion-vector index
+    fit executor memory."""
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    cand = pq_decode(pq_encode(assign_cells(emb, "embedding", nprobe=1))).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("reconstructed").alias("emb_c"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    q = assign_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), "embedding", nprobe=2
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.explode("cells").alias("cell"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine", "cell")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (round 3): the quality counterpart to PQ above.
+# PQ's md5 codebooks are untrained (production k-means is data-dependent
+# and so not portably reproducible), which caps its recall on isotropic
+# embeddings. Scalar quantization needs NO training to be near-optimal:
+# each dimension of a unit-normalized isotropic vector is ~N(0, 1/dim),
+# so the Lloyd-Max 16-level quantizer for that Gaussian — computed here
+# analytically, no data involved — is the codebook k-means would find.
+# 4 bits/dim = 8x compression vs float32, and reconstruction is close
+# enough that top-k ranking survives (recall contract in
+# tests/test_similarity.py). Encode/decode are single array exprs
+# (transform + boundary counting), so the plan stays tiny and
+# whole-stage-codegen'd; the oracle inlines the same level/boundary
+# literals.
+# ---------------------------------------------------------------------------
+SQ_LEVELS = 16
+SQ_SIGMA = 1.0 / 8.0  # component stddev of a unit 64-dim isotropic vector
+
+
+def _sq_levels() -> list[float]:
+    """Lloyd-Max 16-level quantizer points for N(0, SQ_SIGMA^2), from
+    deterministic fixed-point iteration on the analytic Gaussian
+    (centroid = conditional mean between decision boundaries)."""
+    import math
+
+    def phi(x: float) -> float:
+        return math.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi)
+
+    def Phi(x: float) -> float:
+        return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+    # init: equiprobable-mass representative points
+    lv = [
+        -4.0 + 8.0 * (i + 0.5) / SQ_LEVELS  # spread over +-4 sigma
+        for i in range(SQ_LEVELS)
+    ]
+    for _ in range(200):
+        bnd = [(lv[i] + lv[i + 1]) / 2.0 for i in range(SQ_LEVELS - 1)]
+        lo = [-math.inf] + bnd
+        hi = bnd + [math.inf]
+        new = []
+        for a, b in zip(lo, hi):
+            mass = Phi(b) - Phi(a)
+            pa = phi(a) if a != -math.inf else 0.0
+            pb = phi(b) if b != math.inf else 0.0
+            new.append((pa - pb) / mass if mass > 0 else (a + b) / 2.0)
+        if new == lv:
+            break
+        lv = new
+    return [v * SQ_SIGMA for v in lv]
+
+
+def _sq_boundaries() -> list[float]:
+    lv = _sq_levels()
+    return [(lv[i] + lv[i + 1]) / 2.0 for i in range(SQ_LEVELS - 1)]
+
+
+def sq_encode(emb_col: str) -> F.Column:
+    """`codes` array<int>: per-dim nearest Lloyd-Max level, decided by
+    boundary counting (code = #boundaries below x) — a pure comparison
+    against shared double literals, so engine-exact by construction."""
+    bnd = F.array(*[F.lit(b) for b in _sq_boundaries()])
+    return F.transform(
+        F.col(emb_col),
+        lambda x: F.aggregate(
+            bnd,
+            F.lit(0),
+            lambda acc, b: acc + F.when(x.cast("double") > b, 1).otherwise(0),
+        ),
+    )
+
+
+def sq_decode(codes) -> F.Column:
+    """`reconstructed` array<double>: level lookup per code (accepts a
+    column name or the Column from sq_encode)."""
+    lv = F.array(*[F.lit(v) for v in _sq_levels()])
+    col = F.col(codes) if isinstance(codes, str) else codes
+    return F.transform(col, lambda c: F.element_at(lv, c + 1))
+
+
+def sql_sq_reconstructed(emb: str) -> str:
+    """DuckDB twin of sq_decode(sq_encode(emb)) in one expression."""
+    bnd = sql_list_lit(_sq_boundaries())
+    lv = sql_list_lit(_sq_levels())
+    code = (
+        f"CAST(list_sum(list_transform({bnd}, "
+        f"b -> CASE WHEN CAST(x AS DOUBLE) > b THEN 1 ELSE 0 END)) AS INT)"
+    )
+    return f"list_transform({emb}, x -> ({lv})[{code} + 1])"
+
+
+@query(
+    "ann_sq_cosine",
+    oracle=f"""
+WITH recon AS (
+  SELECT vec_id, {sql_sq_reconstructed('embedding')} AS emb_c
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, embedding AS emb_q
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT qs.query_id, r.vec_id AS neighbor_id,
+         {R(sql_cosine('qs.emb_q', 'r.emb_c'), 6)} AS approx_cosine
+  FROM recon r CROSS JOIN qs
+  WHERE r.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, approx_cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def ann_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: candidates carry 4-bit codes per dim; the
+    full-precision query scores against decoded candidates (asymmetric,
+    like PQ). The high-recall compressed path when codebook training
+    isn't available — see the module comment for why this beats
+    untrained PQ."""
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sq_decode(sq_encode("embedding")).alias("emb_c"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
