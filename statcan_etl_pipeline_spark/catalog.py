@@ -34,9 +34,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP. Spark 4 infers
+    parquet timestamp-without-timezone as NTZ, which event-time features
+    (withWatermark, unix_micros, session_window) reject; with the
+    session TZ pinned to UTC (session.py) the cast is value-preserving.
+    No-op when nothing is NTZ."""
+    for c, t in df.dtypes:
+        if t.startswith("timestamp_ntz"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Dynamic SQLConf: sessions built outside get_spark (the driver's
+    # harness) would otherwise infer NTZ on Spark 4.x and crash every
+    # event-time operator. Set before the (eager) schema inference.
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the
         # Spark parquet reader rejects; read nanos as long and truncate
@@ -50,8 +69,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _normalize_event_time(df)
+    return _normalize_event_time(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def scatter(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -84,7 +84,10 @@ def sessionize(
     1-based ``session_id`` per key. Gap math is integer microseconds —
     portable across engines (no float truncation ambiguity)."""
     w = W.partitionBy(key).orderBy(ts, *tiebreak)
-    us = F.unix_micros(F.col(ts))
+    # cast: unix_micros rejects TIMESTAMP_NTZ (Spark 4 parquet default);
+    # with session TZ = UTC the cast is value-preserving and a no-op on
+    # already-TIMESTAMP input
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
     prev = F.lag(us).over(w)
     new_session = F.when(
         prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
@@ -198,11 +201,15 @@ def asof_join_nearest(
     both = back.join(fwd, cond)
     b_ts, f_ts = F.col(f"b.__b_{right_ts}"), F.col(f"f.__f_{right_ts}")
     # microsecond precision: whole-second unix_timestamp would misrank
-    # sub-second gaps (and the events testdata carries nanos)
-    lt_us = F.unix_micros(F.col(f"b.{left_ts}"))
+    # sub-second gaps (and the events testdata carries nanos); cast
+    # guards against TIMESTAMP_NTZ input (Spark 4 parquet default)
+    lt_us = F.unix_micros(F.col(f"b.{left_ts}").cast("timestamp"))
     take_back = F.when(b_ts.isNull(), F.lit(False)).otherwise(
         f_ts.isNull()
-        | (lt_us - F.unix_micros(b_ts) <= F.unix_micros(f_ts) - lt_us)
+        | (
+            lt_us - F.unix_micros(b_ts.cast("timestamp"))
+            <= F.unix_micros(f_ts.cast("timestamp")) - lt_us
+        )
     )
     sel = [F.col(f"b.{c}").alias(c) for c in join_keys]
     sel.append(

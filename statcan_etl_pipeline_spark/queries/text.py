@@ -634,6 +634,9 @@ ORDER BY source, bin_id
 """,
 )
 def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-window form; clear but serializes each source through one
+    task (W.partitionBy('source')). Use doc_greedy_packing_sharded for
+    the scale path."""
     from pyspark.sql import Window as W
 
     base = _doc_base(spark, sf_dir)
@@ -651,6 +654,110 @@ def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks",
         )
         .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded greedy packing (round 5): the scale path. The plain form's
+# W.partitionBy("source") serializes each source through ONE task — at
+# 100 TB a big source is a straggler that never finishes. Classic
+# two-pass distributed prefix sum instead:
+#   pass 1: shard rows by pmod(doc_id, K) within source; cumulative sum
+#           WITHIN each (source, shard) — K-way parallel per source;
+#   pass 2: exclusive prefix sum over the K per-shard totals (a tiny
+#           aggregate, broadcast back) offsets each shard's positions.
+# Packing order is shard-major (shard 0's docs, then shard 1's, ...) —
+# a different but equally deterministic order than the plain form; the
+# oracle mirrors the same arithmetic. At cluster scale, persist the
+# `sized` projection (4 scalar cols) so the tiny totals branch doesn't
+# re-tokenize the corpus.
+# ---------------------------------------------------------------------------
+_PACK_SHARDS = 8
+
+
+@query(
+    "doc_greedy_packing_sharded",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+sized AS (
+  SELECT source, doc_id, len(toks) AS n_toks,
+         doc_id % {_PACK_SHARDS} AS shard
+  FROM base
+),
+local AS (
+  SELECT source, shard, doc_id, n_toks,
+         CAST(coalesce(sum(n_toks) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS local_before
+  FROM sized
+),
+shard_totals AS (
+  SELECT source, shard, sum(n_toks) AS shard_toks FROM sized GROUP BY source, shard
+),
+offsets AS (
+  SELECT source, shard,
+         CAST(coalesce(sum(shard_toks) OVER (
+           PARTITION BY source ORDER BY shard
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
+  FROM shard_totals
+),
+placed AS (
+  SELECT l.source, l.n_toks, o.shard_offset + l.local_before AS toks_before
+  FROM local l JOIN offsets o ON l.source = o.source AND l.shard = o.shard
+)
+SELECT source,
+       CAST(floor(toks_before / {_PACK_CAP}.0) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM placed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+""",
+)
+def doc_greedy_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = _doc_base(spark, sf_dir)
+    sized = base.select(
+        "source",
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+    )
+    w_local = (
+        W.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "local_before",
+        F.coalesce(F.sum("n_toks").over(w_local), F.lit(0)).cast("long"),
+    )
+    shard_totals = sized.groupBy("source", "shard").agg(
+        F.sum("n_toks").alias("shard_toks")
+    )
+    # K rows per source — the window is over a tiny aggregate, not rows
+    w_off = (
+        W.partitionBy("source").orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.withColumn(
+        "shard_offset",
+        F.coalesce(F.sum("shard_toks").over(w_off), F.lit(0)).cast("long"),
+    ).select("source", "shard", "shard_offset")
+    placed = local.join(F.broadcast(offsets), ["source", "shard"]).select(
+        "source",
+        "n_toks",
+        ((F.col("shard_offset") + F.col("local_before")) / F.lit(_PACK_CAP))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        placed.groupBy("source", "bin_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_toks").cast("long").alias("n_tokens"),

@@ -28,6 +28,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.x infers parquet timestamp[us]-without-timezone as
+        # TIMESTAMP_NTZ, which event-time features (withWatermark,
+        # unix_micros, session_window) reject. Keep the classic TIMESTAMP
+        # inference; with the session TZ pinned to UTC the values are
+        # identical. Operators also cast defensively for NTZ inputs that
+        # arrive from sessions not built here.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

@@ -97,16 +97,32 @@ def compact_parquet(
                 ),
             ),
         )
+        # NULL partition values are legal hive partitions
+        # (__HIVE_DEFAULT_PARTITION__); a null-unsafe equi-join would
+        # silently DROP those rows from the compacted output, so the
+        # broadcast join must be eqNullSafe on every partition column.
+        cdf = counts.drop("__rows").alias("__c")
+        ddf = df.alias("__d")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__d.{p}").eqNullSafe(F.col(f"__c.{p}")) for p in pcols],
+        )
+        # Salt via monotonically_increasing_id, not a row hash: a hash
+        # salt can't split EXACT-duplicate rows (they all land in one
+        # group) and fails outright on unhashable column types (maps).
+        # The id is just a distribution key — stability across runs is
+        # not required.
         salted = (
-            df.join(F.broadcast(counts), pcols)
+            ddf.join(F.broadcast(cdf), cond)
+            .select(*[F.col(f"__d.{x}") for x in df.columns], F.col("__c.__files"))
             .withColumn(
                 "__salt",
-                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__files")),
+                F.pmod(F.monotonically_increasing_id(), F.col("__files")),
             )
         )
         (
             salted.repartition(n, *[F.col(c) for c in pcols], F.col("__salt"))
-            .drop("__rows", "__files", "__salt")
+            .drop("__files", "__salt")
             .write.mode("overwrite")
             .partitionBy(*pcols)
             .parquet(out_path)

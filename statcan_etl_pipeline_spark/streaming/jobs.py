@@ -20,15 +20,24 @@ from pyspark.sql import functions as F
 from ..functions.portable import money_sum
 
 
+def _with_event_time(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP. Spark 4 parquet
+    schema inference yields TIMESTAMP_NTZ, which `withWatermark` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); with the session TZ pinned to
+    UTC the cast is value-preserving, and Catalyst removes it entirely
+    when the column is already TIMESTAMP."""
+    return stream.withColumn(col, F.col(col).cast("timestamp"))
+
+
 def events_stream(spark: SparkSession, events_path: str, schema) -> DataFrame:
     """File-based stream of events (one file = one micro-batch source)."""
-    return spark.readStream.schema(schema).parquet(events_path)
+    return _with_event_time(spark.readStream.schema(schema).parquet(events_path))
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling 1-hour counts/sums by event type."""
     return (
-        stream.withWatermark("ts", watermark)
+        _with_event_time(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
         .select(
@@ -44,7 +53,7 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     """Gap-based session aggregation with the state-store-backed
     `session_window` (the streaming twin of operators.temporal.sessionize)."""
     return (
-        stream.withWatermark("ts", watermark)
+        _with_event_time(stream).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("start_ts"), F.col("w.end").alias("end_ts"), "n_events")
@@ -56,6 +65,7 @@ def purchases_after_views_join(stream: DataFrame, watermark: str = "2 hours") ->
     in the preceding hour. Watermarks on BOTH sides + the time-range
     predicate bound the join state (without them, stream-stream joins
     buffer forever)."""
+    stream = _with_event_time(stream)
     views = (
         stream.filter(F.col("event_type") == "view")
         .select(
@@ -114,8 +124,10 @@ def deduped_stream(
     store stays O(keys-per-watermark-window) instead of O(all keys ever)
     — plain dropDuplicates on a stream grows state forever, which is the
     classic 100-TB streaming-dedup failure mode."""
-    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
-        keys
+    return (
+        _with_event_time(stream, event_time_col)
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
     )
 
 

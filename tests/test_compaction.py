@@ -82,6 +82,53 @@ def test_compaction_splits_oversized_hive_partition(spark, sf_small):
     assert stats["after"]["n_files"] == len(big_files) + len(small_files)
 
 
+def test_compaction_keeps_null_partition_rows(spark, sf_small):
+    """NULL partition values are legal hive partitions
+    (__HIVE_DEFAULT_PARTITION__); compaction must not drop them (a
+    null-unsafe equi-join against the per-partition counts would)."""
+    src = _tmp("frag_null_src_")
+    out = _tmp("compact_null_out_")
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "status",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    orders.repartition(8).write.mode("overwrite").partitionBy("status").parquet(src)
+    n_null = orders.filter(F.col("status").isNull()).count()
+    assert n_null > 0
+    compact_parquet(
+        spark, src, out, target_bytes=1024 * 1024, partition_cols=["status"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    assert back.filter(F.col("status").isNull()).count() == n_null
+
+
+def test_compaction_splits_exact_duplicate_rows(spark):
+    """An oversized partition made of EXACT-duplicate rows must still
+    split across files — a row-hash salt would send every copy to one
+    group (and one file)."""
+    src = _tmp("frag_dup_src_")
+    out = _tmp("compact_dup_out_")
+    df = (
+        spark.range(0, 200_000)
+        .select(
+            F.lit("big").alias("bucket"),
+            F.lit("same-payload-for-every-row").alias("payload"),
+            F.lit(1).alias("v"),
+        )
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(src)
+    total = sum(sz for _, sz in list_data_files(spark, src))
+    compact_parquet(
+        spark, src, out, target_bytes=max(total // 4, 1), partition_cols=["bucket"]
+    )
+    out_files = list_data_files(spark, out)
+    assert len(out_files) >= 2, out_files
+    assert spark.read.parquet(out).count() == 200_000
+
+
 def test_compaction_plan_stats():
     plan = compaction_plan([("a", 10), ("b", 20), ("c", 1000)], target_bytes=100)
     assert plan["n_files"] == 3

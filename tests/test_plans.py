@@ -203,3 +203,16 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_med):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sharded_packing_row_window_partitions_by_shard(spark, sf_small):
+    """The scale path for greedy packing: the row-level cumulative
+    window (the one ordered by doc_id) must partition by
+    (source, shard), never by source alone — a source-only partition
+    serializes each source through one task."""
+    plan = _plan(spark, "doc_greedy_packing_sharded", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "doc_id" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "shard" in ln, ln
