@@ -28,66 +28,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- never driver-verified (added after round 2's 50-query window) ---
-    "contamination_check",
-    "doc_greedy_packing",
-    "percentile_disc_order_value",
-    "cdc_orders_diff",
-    "full_outer_nation_coverage",
-    "dense_region_status_grid",
-    # --- ANN family: gaining full DuckDB oracles in round 3 ---
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "ann_pq_cosine",
-    # --- new in round 3 (names filtered by `in QUERIES`, safe to pre-list) ---
-    "dedup_embedding_lsh",
-    "doc_greedy_packing_sharded",
-    "ann_ivfpq_cosine",
-    "ann_sq_cosine",
-    "doc_token_chunks",  # ADVICE fix changed its output; must re-verify
+    # --- round 5: new or changed — must be verified this round ---
+    "dedup_embedding_groups",  # new: LSH pairs -> components -> keep/drop
+    "dedup_connected_groups",  # gained a recursive-CTE oracle this round
+    "abc_part_classification",  # cumsum de-globalized (sharded prefix sum)
+    "doc_greedy_packing_sharded",  # implemented after r4's window; never verified
+    "sessionize_events",  # crashed in r4 (TIMESTAMP_NTZ); fix must be proven
+    "asof_join_purchase_to_view",  # same NTZ cast path touched
     # --- rows-only by design (driver records weaker rows check) ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
-    "dedup_connected_groups",
-    # --- re-verify slice of previously-green queries (rotating) ---
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q18_large_orders",
-    "distinct_mktsegments",
-    "anti_join_customers_without_orders",
-    "semi_join_suppliers_with_returns",
-    "agg_rollup_sales",
-    "agg_cube_flags",
-    "pivot_status_by_segment",
-    "unpivot_part_measures",
-    "q2_top_supplier_per_part",
-    "q4_late_shipment_priority",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q22_wealthy_inactive",
-    "events_json_extract",
-    "events_week4_retention",
-    "window_top3_parts_per_supplier",
-    "window_running_revenue",
-    "percentiles_order_value",
-    "topk_customers_by_revenue",
-    "dedup_exact",
+    # --- re-verify slice: oldest green (r1) first, then r2 (rotating) ---
+    "pipeline_declarative_demo",
+    "statcan_vector_timeseries",
+    "statcan_latest_revision",
+    "upsert_orders_corrections",
+    "scd2_user_daily_value",
+    "statcan_pct_change_yoy",
+    "statcan_rebase_index",
+    "statcan_locf_gapfill",
+    "dq_validation_report",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "multimodal_binary_meta",
+    "q21_waiting_suppliers",
+    "q11_important_stock",
+    "corr_price_quantity",
+    "sample_hash_bucket",
+    "window_navigation_events",
+    "window_distribution_functions",
+    "date_arithmetic_demo",
+    "null_semantics_demo",
+    "safe_cast_demo",
+    "string_fuzzy_part_match",
+    "string_functions_demo",
+    "orders_by_quarter",
+    "array_hof_user_digest",
+    "grouping_sets_flags",
+    "window_range_7day_revenue",
+    "cms_word_frequency",
+    "kmv_distinct_parts",
+    "range_join_events_after_signup",
+    "events_tumbling_1h",
+    "events_funnel_conversion",
+    "histogram_order_values",
+    "events_sliding_1h_15m",
+    "setops_active_users",
+    "pipeline_topk_per_segment",
+    "rfm_segments",
+    "events_hourly_anomalies",
+    "basket_part_affinity",
+    "events_dau_wau",
+    "text_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_token_counts",
 ]
 
 

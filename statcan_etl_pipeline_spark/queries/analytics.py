@@ -246,18 +246,54 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
-    # the window runs over the POST-AGGREGATE part table (|parts| rows,
-    # not |lineitem|); at warehouse scale partition the cumsum by a
-    # category column instead of one global ordering
-    w_cum = W.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
-        W.unboundedPreceding, 0
+    # Distributed cumulative sum (round 5): a bare W.orderBy(...) window
+    # would drag every part through ONE task (|parts| can be 10⁸ at
+    # warehouse scale). Two-pass prefix sum instead: range-partition by
+    # the sort key so partition i globally precedes partition i+1, cumsum
+    # WITHIN each range shard (parallel), then offset each shard by the
+    # exclusive prefix sum of shard totals (a tiny K-row aggregate,
+    # broadcast back). Shard boundaries come from range sampling and may
+    # vary run-to-run, but cum_c is order-determined, so the values —
+    # and the final 3-row classification — are identical regardless.
+    n_shards = max(spark.sparkContext.defaultParallelism, 2)
+    # localCheckpoint pins ONE materialization of the range exchange:
+    # the local-cumsum branch and the shard-totals branch must see the
+    # SAME shard boundaries (range sampling re-run per exchange could
+    # disagree), and it cuts the second lineitem scan.
+    pr_sharded = (
+        pr.repartitionByRange(n_shards, F.desc("rev_c"), F.asc("l_partkey"))
+        .withColumn("shard", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    w_tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = pr.select(
+    w_local = (
+        W.partitionBy("shard")
+        .orderBy(F.desc("rev_c"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = pr_sharded.withColumn(
+        "local_cum", F.sum("rev_c").over(w_local).cast("long")
+    )
+    shard_totals = pr_sharded.groupBy("shard").agg(
+        F.sum("rev_c").cast("long").alias("shard_rev")
+    )
+    # K rows total — this window runs over the tiny aggregate, not parts
+    w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_rev").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("shard_offset"),
+        F.sum("shard_rev").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        .cast("long")
+        .alias("tot_c"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["shard"]).select(
         "l_partkey",
         "rev_c",
-        F.sum("rev_c").over(w_cum).cast("long").alias("cum_c"),
-        F.sum("rev_c").over(w_tot).cast("long").alias("tot_c"),
+        (F.col("shard_offset") + F.col("local_cum")).cast("long").alias("cum_c"),
+        "tot_c",
     )
     abc = (
         F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")

@@ -109,7 +109,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH candidate pairs (char 5-gram shingles)
 # ---------------------------------------------------------------------------
-def _mh_sql() -> str:
+def _mh_pairs_ctes() -> str:
+    """CTE chain `base, sh, sig, bands, pairs` reproducing the banded
+    MinHash-LSH candidate pairs — shared by the pairs oracle and the
+    connected-groups recursive oracle."""
     from ..operators.dedup import _mh_expr
 
     mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(N_HASHES))
@@ -120,8 +123,7 @@ def _mh_sql() -> str:
         + ") AS key FROM sig"
         for b in range(n_bands)
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, {_NORM_SQL} AS norm FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest({sql_char_shingles("norm", 5)}) AS sh FROM base
@@ -129,9 +131,16 @@ WITH base AS (
   SELECT doc_id, {mh} FROM sh GROUP BY doc_id
 ), bands AS (
   {band_selects}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+
+def _mh_sql() -> str:
+    return f"""
+WITH {_mh_pairs_ctes()}
+SELECT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -151,11 +160,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup GROUPS: connected components over minhash candidate pairs
-# (iterative — rows-only for the driver; python union-find cross-check
-# in tests/test_components.py)
+# Near-dup GROUPS: connected components over minhash candidate pairs.
+# The Spark side is iterative min-label propagation; the DuckDB oracle
+# computes the same fixpoint with a recursive CTE (min reachable doc_id
+# = the component representative), so this iterative operator is fully
+# hash-checked, not rows-only. Python union-find cross-check stays in
+# tests/test_components.py.
 # ---------------------------------------------------------------------------
-@query("dedup_connected_groups")
+@query(
+    "dedup_connected_groups",
+    oracle=f"""
+WITH RECURSIVE {_mh_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach (doc_id, r) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT doc_id, min(r) AS group_rep
+FROM reach GROUP BY doc_id ORDER BY doc_id
+""",
+)
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
@@ -248,10 +277,7 @@ _SQL_LSH_BUCKETS = ", ".join(
 )
 
 
-@query(
-    "dedup_embedding_lsh",
-    oracle=f"""
-WITH buck AS (
+_EMB_LSH_CTES = f"""buck AS (
   SELECT vec_id, embedding, {_SQL_LSH_BUCKETS}
   FROM embeddings
 ),
@@ -267,7 +293,13 @@ verified AS (
   FROM cand
   JOIN embeddings ea ON ea.vec_id = cand.vec_a
   JOIN embeddings eb ON eb.vec_id = cand.vec_b
-)
+)"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH {_EMB_LSH_CTES}
 SELECT vec_a, vec_b, cosine FROM verified
 WHERE cosine >= {COS_TAU}
 ORDER BY vec_a, vec_b
@@ -279,6 +311,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only. One shuffle per table on the bucket key plus
     two id-equi-joins for the verify — survives 100× where the
     brute-force baseline's inequality join cannot."""
+    return _embedding_lsh_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cosine) near-dup pairs via multi-table LSH +
+    exact verify — the shared edge-producer for dedup_embedding_lsh
+    and dedup_embedding_groups."""
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     buck = emb.select(
         "vec_id",
@@ -305,5 +344,54 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", pround(cosine("emb_a", "emb_b"), 6))
         .filter(F.col("cosine") >= COS_TAU)
         .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup END-TO-END (round 5): LSH near-dup pairs → connected
+# components → canonical keep/drop per vector. This is the shape a
+# curation run actually consumes: one row per vector with its dedup
+# group and a keep flag (keep = group representative = min vec_id in
+# the component). The recursive-CTE oracle replays the exact pipeline,
+# so the full composition is hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_groups",
+    oracle=f"""
+WITH RECURSIVE {_EMB_LSH_CTES},
+epairs AS (
+  SELECT vec_a, vec_b FROM verified WHERE cosine >= {COS_TAU}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM epairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM epairs
+),
+reach (vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.vec_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT vec_id, min(r) AS group_rep,
+       CAST(vec_id = min(r) AS INT) AS keep
+FROM reach GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per embedding: near-dup pairs (LSH + exact
+    verify) grouped into components; the minimum vec_id in each
+    component is kept, the rest dropped. Components run large-star/
+    small-star (O(log² n) rounds) so chain-shaped dup clusters don't
+    stall the iteration."""
+    from ..operators.components import connected_components_star
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = _embedding_lsh_pairs(spark, sf_dir)
+    comp = connected_components_star(
+        emb, pairs, vertex_col="vec_id", src_col="vec_a", dst_col="vec_b"
+    )
+    return comp.select(
+        F.col("vertex").alias("vec_id"),
+        F.col("component").alias("group_rep"),
+        (F.col("vertex") == F.col("component")).cast("int").alias("keep"),
+    ).orderBy("vec_id")

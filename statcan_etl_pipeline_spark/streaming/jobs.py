@@ -160,6 +160,54 @@ def read_merge_target(spark, target_path: str) -> DataFrame:
     return spark.read.parquet(f"{target_path}/{versions[-1]}")
 
 
+def merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+) -> bool:
+    """Merge ONE micro-batch into the versioned parquet target; returns
+    True if a new version was written, False if the batch was already
+    committed (checkpoint replay) and the merge was skipped.
+
+    Replay safety (ADVICE r3): the base is resolved ONLY from versions
+    strictly OLDER than this batch's `v{batch_id}`. Resolving "latest"
+    would, on replay of an already-committed batch, pick v{batch_id}
+    itself and then overwrite it in place — Spark's overwrite deletes
+    the target before the (lazy) read finishes, so a crash mid-rewrite
+    destroys the newest committed version. With the strict-older rule a
+    committed batch is a pure no-op and an uncommitted one merges from
+    the same base it would have used the first time.
+    """
+    from ..operators.incremental import upsert
+
+    spark = batch_df.sparkSession
+    vname = f"v{batch_id:010d}"
+    vdir = f"{target_path}/{vname}"
+    # Resolve from committed versions only — a bare try/except read of
+    # the target would treat a TRANSIENT failure as "no target yet" and
+    # silently restart history.
+    versions = _committed_versions(spark, target_path)
+    if vname in versions:
+        return False  # replay of a committed batch: already merged
+    batch_latest = upsert(batch_df.limit(0), batch_df, keys=keys, order_col=order_col)
+    older = [v for v in versions if v < vname]
+    if older:
+        base = spark.read.parquet(f"{target_path}/{older[-1]}")
+        merged = upsert(base, batch_latest, keys=keys, order_col=order_col)
+    else:
+        merged = batch_latest
+    merged.write.mode("overwrite").parquet(vdir)
+    # GC: keep the new version plus one predecessor for readers
+    # mid-resolve; drop anything older.
+    jvm = spark._jvm
+    for old in _committed_versions(spark, target_path)[:-2]:
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{old}")
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+    return True
+
+
 def run_foreach_batch_upsert(
     df: DataFrame,
     target_path: str,
@@ -178,40 +226,16 @@ def run_foreach_batch_upsert(
     crash at any point loses at most the in-flight version — a version
     only counts once Spark's commit protocol drops its `_SUCCESS`
     marker (written last), and readers (`read_merge_target`) resolve
-    the latest committed version. Checkpoint replay of a batch re-merges
-    into the same version dir; latest-wins upsert is value-idempotent,
-    so replay converges to identical table contents. A real lakehouse
-    table (Delta/Iceberg `MERGE INTO`) replaces this whole mechanism
-    with one transaction; the upsert semantics are identical
-    (operators/incremental.upsert).
+    the latest committed version. On checkpoint replay, a batch whose
+    version already committed is SKIPPED (never read-and-overwritten in
+    place — see `merge_batch`), so a crash mid-replay can't destroy the
+    newest committed version. A real lakehouse table (Delta/Iceberg
+    `MERGE INTO`) replaces this whole mechanism with one transaction;
+    the upsert semantics are identical (operators/incremental.upsert).
     """
-    from ..operators.incremental import upsert
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_latest = upsert(
-            batch_df.limit(0), batch_df, keys=keys, order_col=order_col
-        )
-        # Resolve the base from committed versions only — a bare
-        # try/except read of the target would treat a TRANSIENT failure
-        # as "no target yet" and silently restart history.
-        versions = _committed_versions(spark, target_path)
-        # On replay, the crash may have happened AFTER this batch's
-        # version committed; merging the batch into its own output is
-        # value-idempotent (latest-wins), so resolving "latest" is safe.
-        if versions:
-            base = spark.read.parquet(f"{target_path}/{versions[-1]}")
-            merged = upsert(base, batch_latest, keys=keys, order_col=order_col)
-        else:
-            merged = batch_latest
-        vdir = f"{target_path}/v{batch_id:010d}"
-        merged.write.mode("overwrite").parquet(vdir)
-        # GC: keep the new version plus one predecessor for readers
-        # mid-resolve; drop anything older.
-        jvm = spark._jvm
-        for old in _committed_versions(spark, target_path)[:-2]:
-            hpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{old}")
-            hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+        merge_batch(batch_df, batch_id, target_path, keys=keys, order_col=order_col)
 
     q = (
         df.writeStream.foreachBatch(_merge)

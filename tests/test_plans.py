@@ -216,3 +216,17 @@ def test_sharded_packing_row_window_partitions_by_shard(spark, sf_small):
     assert row_wins, plan
     for ln in row_wins:
         assert "shard" in ln, ln
+
+
+def test_abc_cumulative_window_partitions_by_shard(spark, sf_small):
+    """ABC classification's per-part cumulative sum must run inside
+    range shards (windowspec partitioned by `shard`), never as one
+    global orderBy window — that would drag every part through a
+    single task. The only partition-less windows allowed are the ones
+    over the tiny K-row shard-totals aggregate (`shard_rev`)."""
+    plan = _plan(spark, "abc_part_classification", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    part_wins = [ln for ln in wins if "rev_c" in ln and "shard_rev" not in ln]
+    assert part_wins, plan
+    for ln in part_wins:
+        assert "windowspecdefinition(shard" in ln, ln

@@ -257,3 +257,75 @@ def test_rate_source_windowed_counts_smoke(spark):
         assert all(r["n"] > 0 for r in got)
     finally:
         q.stop()
+
+
+def test_merge_batch_replay_of_committed_batch_is_skipped(spark, tmp_path):
+    """Crash-AFTER-commit replay (ADVICE r3): replaying a batch whose
+    version dir already committed must NOT read-and-overwrite that
+    version in place — merge_batch skips it entirely, and a later
+    uncommitted batch merges from the strictly-older base."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        merge_batch,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id int, event_id int, v string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 12, "c")], "user_id int, event_id int, v string"
+    )
+
+    assert merge_batch(b0, 0, target, keys=["user_id"], order_col="event_id")
+    assert merge_batch(b1, 1, target, keys=["user_id"], order_col="event_id")
+    after_b1 = sorted(tuple(r) for r in read_merge_target(spark, target).collect())
+    assert len(after_b1) == 3
+
+    # replay batch 1 (crash happened after its commit): must be a no-op
+    assert merge_batch(b1, 1, target, keys=["user_id"], order_col="event_id") is False
+    assert (
+        sorted(tuple(r) for r in read_merge_target(spark, target).collect())
+        == after_b1
+    )
+    # replay batch 0 too (older committed version GC'd or not): no-op,
+    # and crucially the latest version is untouched
+    assert merge_batch(b0, 0, target, keys=["user_id"], order_col="event_id") is False
+    assert (
+        sorted(tuple(r) for r in read_merge_target(spark, target).collect())
+        == after_b1
+    )
+
+
+def test_merge_batch_uncommitted_replay_uses_strictly_older_base(spark, tmp_path):
+    """If batch N crashed BEFORE its _SUCCESS marker, replay must merge
+    from the newest version strictly older than v{N} — not from any
+    half-written v{N} content."""
+    import os
+
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        merge_batch,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id int, event_id int, v string"
+    )
+    b1 = spark.createDataFrame([(2, 20, "b2")], "user_id int, event_id int, v string")
+    assert merge_batch(b0, 0, target, keys=["user_id"], order_col="event_id")
+
+    # simulate a crash mid-write of v1: dir exists with junk, no _SUCCESS
+    vdir = f"{target}/v{1:010d}"
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    assert merge_batch(b1, 1, target, keys=["user_id"], order_col="event_id")
+    got = sorted(
+        tuple(r)
+        for r in read_merge_target(spark, target)
+        .select("user_id", "event_id", "v")
+        .collect()
+    )
+    assert got == [(1, 10, "a"), (2, 20, "b2")]
