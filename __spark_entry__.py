@@ -30,6 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # --- round 5: new or changed — must be verified this round ---
     "dedup_embedding_groups",  # new: LSH pairs -> components -> keep/drop
+    "corpus_mixture_resample",  # new: deterministic language-mixture sampler
+    "boilerplate_ngram_ratio",  # new: cross-doc repeated-ngram share
     "dedup_connected_groups",  # gained a recursive-CTE oracle this round
     "abc_part_classification",  # cumsum de-globalized (sharded prefix sum)
     "doc_greedy_packing_sharded",  # implemented after r4's window; never verified

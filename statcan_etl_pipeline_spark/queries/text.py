@@ -764,3 +764,164 @@ def doc_greedy_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (round 5): rebalance the corpus toward a UNIFORM
+# language mixture by deterministic hash sampling — the data-mixing
+# step of a training-data pipeline. Each language keeps documents with
+# probability p = min(1, target_share / actual_share); the keep
+# decision is a pure function of doc_id (md5 prefix compared against a
+# per-language hex threshold), so the sample is reproducible across
+# engines and across reruns — no rand(), no seed plumbing. Shuffles:
+# one tiny lang-count aggregate (broadcast back) + one final group-by.
+# At 100 TB the doc scan is embarrassingly parallel and the decision
+# is a per-row expression — no global state.
+# ---------------------------------------------------------------------------
+_MIX_SCALE = 16777216  # 16^6: md5 6-hex-digit prefix space
+
+
+@query(
+    "corpus_mixture_resample",
+    oracle=f"""
+WITH lc AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM lc
+), thr AS (
+  SELECT lc.lang, lc.n_docs,
+         CASE WHEN lc.n_docs * tot.n_langs <= tot.total THEN NULL
+              ELSE lpad(lower(hex(CAST(floor(
+                     (CAST(tot.total AS DOUBLE) / tot.n_langs / lc.n_docs)
+                     * {_MIX_SCALE}) AS BIGINT))), 6, '0')
+         END AS keep_thr
+  FROM lc, tot
+), decided AS (
+  SELECT d.lang,
+         CASE WHEN t.keep_thr IS NULL THEN 1
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < t.keep_thr
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN thr t ON d.lang = t.lang
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM decided GROUP BY lang ORDER BY lang
+""",
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts before/after uniform-mixture downsampling.
+    NULL threshold = language at-or-under its target share: keep all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = lc.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    thr = (
+        lc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.when(F.col("n_docs") * F.col("n_langs") <= F.col("total"), F.lit(None))
+            .otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.floor(
+                                F.col("total").cast("double")
+                                / F.col("n_langs")
+                                / F.col("n_docs")
+                                * F.lit(_MIX_SCALE)
+                            ).cast("long")
+                        )
+                    ),
+                    6,
+                    "0",
+                )
+            )
+            .alias("keep_thr"),
+        )
+    )
+    decided = docs.join(F.broadcast(thr), "lang").select(
+        "lang",
+        F.when(F.col("keep_thr").isNull(), F.lit(1))
+        .when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+            < F.col("keep_thr"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+    return (
+        decided.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection (round 5): the share of each document made of
+# CROSS-DOCUMENT repeated word 5-grams (navigation chrome, license
+# headers, template text — the stuff quality filters strip before
+# training). A shingle is "boilerplate" when it appears in >= 3
+# distinct documents. Pure inverted-index shape: explode shingles,
+# document-frequency aggregate on the shingle key, semi-join back —
+# shuffles only on the shingle hash, no pairwise comparison anywhere.
+# ---------------------------------------------------------------------------
+_BOILER_DF = 3
+
+
+@query(
+    "boilerplate_ngram_ratio",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_word_shingles("toks", 5)}) AS sh FROM base
+), dfreq AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh
+), per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN d.df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM sh s JOIN dfreq d ON s.sh = d.sh
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_boiler,
+       {R("(CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE))", 6)}
+         AS boiler_ratio
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    sh = (
+        base.select("doc_id", F.explode(word_shingles("toks", 5)).alias("sh"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        pround(
+            F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("boiler_ratio"),
+    ).orderBy("doc_id")

@@ -244,3 +244,17 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_stream(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (small) dimension table
+    to every event as it streams through. The static side is read once
+    per micro-batch and broadcast — no stream state at all, unlike
+    stream-stream joins — which is why enrichment against a dimension
+    should NEVER be expressed as a stream-stream join (that would
+    buffer the stream in the state store for no reason). At scale the
+    dimension refresh cadence = micro-batch cadence; for slowly
+    changing dims snapshot the dim table per batch via foreachBatch."""
+    return _with_event_time(stream).join(F.broadcast(dim), key, how)

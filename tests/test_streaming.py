@@ -329,3 +329,35 @@ def test_merge_batch_uncommitted_replay_uses_strictly_older_base(spark, tmp_path
         .collect()
     )
     assert got == [(1, 10, "a"), (2, 20, "b2")]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_small):
+    """Stream-static broadcast join parity: the availableNow streaming
+    run enriched with the customer dimension equals the batch join on
+    the same events."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        enriched_stream,
+        run_available_now,
+    )
+
+    dim = (
+        load_table(spark, sf_small, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = _normalized_stream(spark, sf_small)
+    enriched = enriched_stream(stream, dim).select(
+        "event_id", "user_id", "segment"
+    )
+    run_available_now(enriched, "enriched_events", output_mode="append")
+    got = spark.table("enriched_events")
+
+    ev = load_table(spark, sf_small, "events")
+    want = ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "segment"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
