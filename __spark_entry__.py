@@ -32,6 +32,12 @@ _CHECK_FIRST = [
     "dedup_embedding_groups",  # new: LSH pairs -> components -> keep/drop
     "corpus_mixture_resample",  # new: deterministic language-mixture sampler
     "boilerplate_ngram_ratio",  # new: cross-doc repeated-ngram share
+    "embedding_kmeans",  # new: 3 unrolled Lloyd iterations, full oracle
+    "doc_train_val_split",  # new: deterministic hash split census
+    "events_user_transitions",  # new: Markov transition matrix
+    "events_interarrival_stats",  # new: per-type gap stats
+    "embedding_centroids_by_label",  # new: dimension-parallel class means
+    "ann_range_search",  # new: cosine radius retrieval
     "dedup_connected_groups",  # gained a recursive-CTE oracle this round
     "abc_part_classification",  # cumsum de-globalized (sharded prefix sum)
     "doc_greedy_packing_sharded",  # implemented after r4's window; never verified

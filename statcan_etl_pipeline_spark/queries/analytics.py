@@ -369,3 +369,116 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (round 5): the Markov transition matrix and
+# inter-arrival statistics a behavior-modeling (or session-LM training
+# data) pipeline computes over the event stream. Both are one window
+# pass partitioned by user_id — the shuffle key is the natural entity
+# key, partitions are per-user and small, no global ordering anywhere.
+# The window order is total (ts, event_id) so lead/lag are
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_transitions",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS from_total
+  FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n_trans,
+       {R("(CAST(p.n_trans AS DOUBLE) / CAST(t.from_total AS DOUBLE))", 6)} AS prob
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+ORDER BY p.from_type, p.to_type
+""",
+)
+def events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types within each user's timeline."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    tot = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("from_total")
+    )
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            pround(
+                F.col("n_trans").cast("double") / F.col("from_total").cast("double"),
+                6,
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), gaps AS (
+  SELECT event_type, us - prev_us AS gap_us
+  FROM seq WHERE prev_us IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       {R("(CAST(sum(gap_us) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE))", 6)}
+         AS avg_gap_s
+FROM gaps GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap stats between consecutive events of each user,
+    grouped by the type of the LATER event. The average comes from an
+    exact int64 microsecond sum — no double accumulation."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            pround(
+                F.sum("gap_us").cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_gap_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, scatter
 from ..functions.portable import pround, sql_round as R
-from ..functions.vectors import dot_fixed, sql_dot_fixed
+from ..functions.vectors import (
+    dot_fixed,
+    sqdist_fixed,
+    sql_dot_fixed,
+    sql_sqdist_fixed,
+)
 from ..registry import query
 
 _NORM_SQL = f"sqrt({sql_dot_fixed('embedding', 'embedding')} / 1000000000.0)"
@@ -81,3 +86,225 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("min_nrm", 6).alias("min_norm"),
         pround("max_nrm", 6).alias("max_norm"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Per-label class centroids (round 5): the mean embedding per label,
+# one row per (label, dimension). Spark side is posexplode → groupBy
+# (label, pos) with an exact micro-unit integer component sum — the
+# same fixed-point trick as the norm stats, so the centroid doubles
+# are bit-identical cross-engine. At scale this is a single shuffle
+# on (label, pos) with full map-side partial aggregation; no vector
+# ever has to be assembled on one node (centroid drift / class-mean
+# monitoring over 100 TB of embeddings works dimension-parallel).
+# ---------------------------------------------------------------------------
+_COMP_MICRO_SQL = (
+    "CAST(CASE WHEN embedding[i] >= 0"
+    " THEN floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)"
+    " ELSE -floor(-CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)"
+    " END AS BIGINT)"
+)
+
+
+@query(
+    "embedding_centroids_by_label",
+    oracle=f"""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {R("(CAST(sum(" + _COMP_MICRO_SQL + ") AS DOUBLE) / 1000000.0"
+          " / CAST(count(*) AS DOUBLE))", 6)} AS centroid_val
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.when(
+            F.col("v") >= 0,
+            F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)),
+        )
+        .otherwise(-F.floor(-F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("micro"),
+    )
+    return (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("micro").alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            pround(
+                F.col("sum_micro").cast("double")
+                / F.lit(1e6)
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("centroid_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means (round 5): k=4, a FIXED 3 iterations, deterministic
+# init (the embeddings of the k smallest vec_ids) — the iterative-ML
+# showcase, and still fully DuckDB-oracle-checked because every step
+# is engine-exact: assignment argmin over int64 fixed-point squared
+# distances (ties broken by cluster_id), centroid update from exact
+# micro-unit integer component sums with portable rounding. The
+# oracle unrolls the three iterations as CTEs.
+#
+# Scale shape: per iteration ONE map-side-combined shuffle on
+# (cluster_id, pos) for the update; assignment is a broadcast of k·dim
+# doubles. The driver round-trip per iteration is O(k·dim) — 256
+# doubles here — never O(n): this is the same topology MLlib KMeans
+# uses, and the only driver-side state an iterative fitter needs.
+# ---------------------------------------------------------------------------
+KM_K = 4
+KM_ITERS = 3
+KM_DIM = 64
+
+_KM_COMP_MICRO = (
+    "CAST(CASE WHEN a.embedding[i] >= 0"
+    " THEN floor(CAST(a.embedding[i] AS DOUBLE) * 1000000.0 + 0.5)"
+    " ELSE -floor(-CAST(a.embedding[i] AS DOUBLE) * 1000000.0 + 0.5)"
+    " END AS BIGINT)"
+)
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dim: int = KM_DIM) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs (init → a1 → c1 → …)."""
+    parts = [
+        f"""init AS (
+  SELECT CAST(vec_id AS BIGINT) AS cluster_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    prev = "init"
+    for it in range(1, iters + 1):
+        d = sql_sqdist_fixed("e.embedding", "c.cvec", "0", dim)
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, embedding, cluster_id, d FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id, {d} AS d,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d}, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters:
+            cval = R(
+                f"(CAST(sum({_KM_COMP_MICRO}) AS DOUBLE) / 1000000.0"
+                " / CAST(count(*) AS DOUBLE))",
+                6,
+            )
+            parts.append(
+                f"""c{it} AS (
+  SELECT cluster_id, list(cval ORDER BY pos) AS cvec FROM (
+    SELECT a.cluster_id, i AS pos, {cval} AS cval
+    FROM a{it} a CROSS JOIN range(1, {dim + 1}) t(i)
+    GROUP BY a.cluster_id, i
+  ) GROUP BY cluster_id
+)"""
+            )
+            prev = f"c{it}"
+    avg_d = R(
+        "(CAST(sum(d) AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE))", 6
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs, {avg_d} AS avg_sqdist
+FROM a{iters} GROUP BY cluster_id ORDER BY cluster_id"""
+    )
+
+
+def _km_assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Nearest-centroid assignment against broadcast literal centroids:
+    array_min over (d, cluster_id) structs = argmin with id tie-break."""
+    structs = [
+        F.struct(
+            sqdist_fixed(F.col("embedding"), F.array(*[F.lit(v) for v in vec])).alias(
+                "d"
+            ),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, vec in sorted(cents.items())
+    ]
+    best = F.array_min(F.array(*structs))
+    return emb.select(
+        "vec_id",
+        "embedding",
+        best.getField("cid").alias("cluster_id"),
+        best.getField("d").alias("d"),
+    )
+
+
+@query("embedding_kmeans", oracle=_kmeans_oracle())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census (size + mean squared distance) after 3 Lloyd
+    iterations. Per-iteration driver state is k×dim centroid doubles
+    only; all O(n) work stays distributed."""
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < KM_K).collect()
+    }
+    assigned = _km_assign(emb, cents)
+    for _ in range(KM_ITERS - 1):
+        micro = (
+            F.when(
+                F.col("v") >= 0,
+                F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)),
+            )
+            .otherwise(-F.floor(-F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)))
+            .cast("long")
+        )
+        upd = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("pos0", "v"))
+            .select("cluster_id", (F.col("pos0") + 1).alias("pos"), micro.alias("m"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                pround(
+                    F.sum("m").cast("double")
+                    / F.lit(1e6)
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("cval")
+            )
+            .collect()
+        )
+        cents = {}
+        for r in upd:
+            cents.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(r["cval"])
+        cents = {
+            cid: [by_pos[p] for p in sorted(by_pos)] for cid, by_pos in cents.items()
+        }
+        assigned = _km_assign(emb, cents)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            pround(
+                F.sum("d").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_sqdist"),
+        )
+        .orderBy("cluster_id")
+    )

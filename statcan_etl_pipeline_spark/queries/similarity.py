@@ -627,3 +627,46 @@ def ann_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "approx_cosine")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search (round 5): ALL neighbors within a similarity
+# radius (cosine >= tau) for each query vector — the retrieval shape
+# dedup and near-dup mining use when k is unknown (a fixed top-k
+# either truncates dense neighborhoods or pads sparse ones). Brute
+# force against a BROADCAST query set: at 100 TB the corpus side
+# stays partition-parallel and shuffle-free; the bucketed variant for
+# huge query sets is the same composition as dedup_embedding_lsh.
+# ---------------------------------------------------------------------------
+RANGE_TAU = 0.4
+
+
+@query(
+    "ann_range_search",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {R(sql_cosine("q.embedding", "c.embedding"), 6)} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine FROM pairs
+WHERE cosine >= {RANGE_TAU}
+ORDER BY query_id, neighbor_id
+""",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -925,3 +925,73 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"), 6
         ).alias("boiler_ratio"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split (round 5): assign every document to a split by
+# a pure function of doc_id — md5 6-hex prefix against fixed hex
+# thresholds (test < 1%, val < 2%, else train). No rand(), no seed
+# plumbing: the assignment is stable across engines, reruns, and
+# repartitions, and adding documents never moves an existing one
+# between splits (the property that keeps eval sets uncontaminated
+# as the corpus grows). Per-row expression only — embarrassingly
+# parallel at 100 TB; the output is the per-(source, split) census.
+# ---------------------------------------------------------------------------
+_SPLIT_TEST_THR = format(int(0.01 * 16**6), "06x")  # '028f5c'
+_SPLIT_VAL_THR = format(int(0.02 * 16**6), "06x")  # '051eb8'
+_SPLIT_CASE_SQL = f"""
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_SPLIT_TEST_THR}'
+         THEN 'test'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_SPLIT_VAL_THR}'
+         THEN 'val'
+       ELSE 'train' END
+"""
+
+
+@query(
+    "doc_train_val_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT source, {_SPLIT_CASE_SQL} AS split FROM documents
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+  FROM assigned GROUP BY source
+)
+SELECT a.source, a.split, CAST(count(*) AS BIGINT) AS n_docs,
+       {R("(CAST(count(*) AS DOUBLE) / CAST(any_value(t.src_docs) AS DOUBLE))", 6)}
+         AS share
+FROM assigned a JOIN tot t ON a.source = t.source
+GROUP BY a.source, a.split
+ORDER BY a.source, a.split
+""",
+)
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, split) document census under the deterministic
+    hash split. The split column itself is the per-row expression a
+    pipeline would write out partitioned-by."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    assigned = docs.select(
+        "source",
+        F.when(prefix < _SPLIT_TEST_THR, F.lit("test"))
+        .when(prefix < _SPLIT_VAL_THR, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    tot = assigned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_docs")
+    )
+    return (
+        assigned.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            pround(
+                F.col("n_docs").cast("double") / F.col("src_docs").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("source", "split")
+    )

@@ -230,3 +230,39 @@ def test_abc_cumulative_window_partitions_by_shard(spark, sf_small):
     assert part_wins, plan
     for ln in part_wins:
         assert "windowspecdefinition(shard" in ln, ln
+
+
+def test_transition_matrix_single_user_shuffle_no_global_window(spark, sf_small):
+    """events_user_transitions: the lead() window partitions by
+    user_id (never an empty partitionBy), and the from_total join is
+    a broadcast — no second full-data shuffle."""
+    plan = _plan(spark, "events_user_transitions", sf_small)
+    n_windows = plan.count("windowspecdefinition(")
+    assert n_windows >= 1
+    assert plan.count("windowspecdefinition(user_id#") == n_windows
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_no_join_no_cartesian(spark, sf_small):
+    """embedding_kmeans: nearest-centroid assignment is a pure
+    projection over broadcast literal centroids — the final plan has
+    no join of any kind and aggregates with map-side partials."""
+    plan = _plan(spark, "embedding_kmeans", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_range_search_broadcasts_query_set(spark, sf_small):
+    plan = _plan(spark, "ann_range_search", sf_small)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroids_by_label_partial_aggregation(spark, sf_small):
+    """posexplode fan-out aggregates map-side before the single
+    (label, pos) shuffle."""
+    plan = _plan(spark, "embedding_centroids_by_label", sf_small)
+    assert "partial_" in plan
+    assert "Exchange" in plan

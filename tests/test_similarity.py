@@ -168,3 +168,64 @@ def test_dedup_embedding_lsh_pairs_are_true_near_dups(spark, sf_small):
     assert len(lsh) > 0
     for r in lsh:
         assert brute[(r["vec_a"], r["vec_b"])] == r["cosine"]
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_small):
+    """Engine-independent semantics check: replicate the fixed-point
+    Lloyd iterations in numpy (same init, same rounding, same
+    tie-break) and compare the final cluster census."""
+    import numpy as np
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.queries.embeddings import KM_ITERS, KM_K
+
+    rows = (
+        load_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def fixed_sqdist(X, c):  # int64 nano-units, rounded per term
+        d = X - c[None, :]
+        return np.floor(d * d * 1e9 + 0.5).astype(np.int64).sum(axis=1)
+
+    def pround6(x):
+        return np.where(
+            x >= 0, np.floor(x * 1e6 + 0.5) / 1e6, -(np.floor(-x * 1e6 + 0.5) / 1e6)
+        )
+
+    cents = {int(i): X[ids == i][0] for i in sorted(ids) if i < KM_K}
+    for it in range(KM_ITERS):
+        cids = sorted(cents)
+        D = np.stack([fixed_sqdist(X, cents[c]) for c in cids], axis=1)
+        assign = np.array(cids)[np.argmin(D, axis=1)]  # argmin takes first = smallest cid on ties
+        d_best = D.min(axis=1)
+        if it < KM_ITERS - 1:
+            cents = {}
+            for c in np.unique(assign):
+                comp_micro = np.where(
+                    X[assign == c] >= 0,
+                    np.floor(X[assign == c] * 1e6 + 0.5),
+                    -np.floor(-X[assign == c] * 1e6 + 0.5),
+                ).astype(np.int64)
+                cents[int(c)] = pround6(
+                    comp_micro.sum(axis=0) / 1e6 / (assign == c).sum()
+                )
+    want = {
+        int(c): (
+            int((assign == c).sum()),
+            float(
+                pround6(
+                    np.array([d_best[assign == c].sum() / 1e9 / (assign == c).sum()])
+                )[0]
+            ),
+        )
+        for c in np.unique(assign)
+    }
+    got = {
+        int(r["cluster_id"]): (int(r["n_vecs"]), float(r["avg_sqdist"]))
+        for r in QUERIES["embedding_kmeans"](spark, sf_small).collect()
+    }
+    assert got == want
