@@ -33,6 +33,8 @@ _CHECK_FIRST = [
     "corpus_mixture_resample",  # new: deterministic language-mixture sampler
     "boilerplate_ngram_ratio",  # new: cross-doc repeated-ngram share
     "embedding_kmeans",  # new: 3 unrolled Lloyd iterations, full oracle
+    "graph_pagerank",  # new: broadcast-Pregel PageRank, unrolled oracle
+    "statcan_seasonal_decompose",  # new: additive trend/seasonal/residual
     "doc_train_val_split",  # new: deterministic hash split census
     "events_user_transitions",  # new: Markov transition matrix
     "events_interarrival_stats",  # new: per-type gap stats

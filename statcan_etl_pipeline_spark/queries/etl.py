@@ -535,3 +535,108 @@ def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (round 5): classical additive decompose of the
+# daily event series — trend (centered 7-day moving average), weekday
+# seasonal (mean detrended deviation per ISO weekday), residual. The
+# moving-average and seasonal windows run over the DAILY AGGREGATE,
+# which is bounded by the calendar (~10^3–10^4 rows at any corpus
+# size), so the unpartitioned ordered window here is NOT a scale
+# hazard — unlike a window over raw rows. Engine parity: the trend is
+# an integer 7-day sum / 7.0 (exact), and the seasonal mean uses the
+# fixed-point micro-sum trick (a plain double mean would depend on
+# accumulation order).
+# ---------------------------------------------------------------------------
+@query(
+    "statcan_seasonal_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+), tr AS (
+  SELECT d, n_events,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(n_events) OVER w AS DOUBLE) / 7.0
+         END AS trend,
+         CAST(date_part('isodow', d) AS BIGINT) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dev AS (
+  SELECT *, CASE WHEN trend IS NOT NULL THEN
+         CAST(CASE WHEN n_events - trend >= 0
+              THEN floor((n_events - trend) * 1000000.0 + 0.5)
+              ELSE -floor(-(n_events - trend) * 1000000.0 + 0.5)
+              END AS BIGINT) END AS dev_micro
+  FROM tr
+), seas AS (
+  SELECT dow,
+         {R("(CAST(sum(dev_micro) AS DOUBLE) / 1000000.0"
+            " / CAST(count(dev_micro) AS DOUBLE))", 6)} AS seasonal
+  FROM dev WHERE dev_micro IS NOT NULL GROUP BY dow
+)
+SELECT CAST(t.d AS VARCHAR) AS d, t.n_events,
+       {R("t.trend", 6)} AS trend,
+       {R("s.seasonal", 6)} AS seasonal,
+       {R("(t.n_events - t.trend - s.seasonal)", 6)} AS residual
+FROM tr t LEFT JOIN seas s ON t.dow = s.dow AND t.trend IS NOT NULL
+ORDER BY t.d
+""",
+)
+def statcan_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily event
+    counts (the seasonal-adjustment primitive a statistics pipeline
+    publishes alongside raw series)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "n_events",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("n_events").over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+        (F.weekday("d").cast("long") + 1).alias("dow"),
+    )
+    dev = F.col("n_events") - F.col("trend")
+    dev_micro = F.when(
+        F.col("trend").isNotNull(),
+        F.when(dev >= 0, F.floor(dev * F.lit(1e6) + F.lit(0.5)))
+        .otherwise(-F.floor(-dev * F.lit(1e6) + F.lit(0.5)))
+        .cast("long"),
+    )
+    seas = (
+        tr.select("dow", dev_micro.alias("dev_micro"))
+        .filter(F.col("dev_micro").isNotNull())
+        .groupBy("dow")
+        .agg(
+            pround(
+                F.sum("dev_micro").cast("double")
+                / F.lit(1e6)
+                / F.count("dev_micro").cast("double"),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        tr.join(
+            F.broadcast(seas),
+            (tr["dow"] == seas["dow"]) & tr["trend"].isNotNull(),
+            "left",
+        )
+        .select(
+            F.col("d").cast("string").alias("d"),
+            "n_events",
+            pround("trend", 6).alias("trend"),
+            pround("seasonal", 6).alias("seasonal"),
+            pround(
+                F.col("n_events") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("d")
+    )

@@ -51,6 +51,7 @@ def _load_all() -> None:
         dedup,
         embeddings,
         etl,
+        graph,
         multimodal,
         relational,
         relational2,

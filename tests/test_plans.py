@@ -266,3 +266,13 @@ def test_centroids_by_label_partial_aggregation(spark, sf_small):
     plan = _plan(spark, "embedding_centroids_by_label", sf_small)
     assert "partial_" in plan
     assert "Exchange" in plan
+
+
+def test_pagerank_rank_state_is_broadcast_per_iteration(spark, sf_small):
+    """graph_pagerank: the O(|V|) rank state joins into the O(|E|)
+    contribution side via broadcast — the edge table itself never
+    shuffles for a join; aggregations keep map-side partials."""
+    plan = _plan(spark, "graph_pagerank", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 3  # one rank join per iteration
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
