@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import money_sum
+from ..functions.portable import cents, money_sum
 
 
 def _with_event_time(stream: DataFrame, col: str = "ts") -> DataFrame:
@@ -199,13 +199,17 @@ def merge_batch(
     else:
         merged = batch_latest
     merged.write.mode("overwrite").parquet(vdir)
-    # GC: keep the new version plus one predecessor for readers
-    # mid-resolve; drop anything older.
+    _gc_versions(spark, target_path)
+    return True
+
+
+def _gc_versions(spark, target_path: str, keep: int = 2) -> None:
+    """Drop all but the newest `keep` committed versions (the extra one
+    covers readers mid-resolve)."""
     jvm = spark._jvm
-    for old in _committed_versions(spark, target_path)[:-2]:
+    for old in _committed_versions(spark, target_path)[:-keep]:
         hpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{old}")
         hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
-    return True
 
 
 def run_foreach_batch_upsert(
@@ -258,3 +262,88 @@ def enriched_stream(
     dimension refresh cadence = micro-batch cadence; for slowly
     changing dims snapshot the dim table per batch via foreachBatch."""
     return _with_event_time(stream).join(F.broadcast(dim), key, how)
+
+
+def incremental_agg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> bool:
+    """Fold ONE micro-batch's partial aggregate into a versioned
+    running-aggregate table (incremental materialized view): the
+    ADDITIVE complement of `merge_batch`'s latest-wins upsert. Returns
+    False (no-op) when the batch already committed — additive state is
+    where replay idempotency matters most, since re-applying a batch
+    would silently double-count.
+
+    Scale shape: the stream side reduces to |groups| rows per batch
+    BEFORE touching the base (map-side partial aggregation inside the
+    micro-batch), and the base merge is a full-outer join on the group
+    key between two |groups|-sized tables — the raw stream never joins
+    the base. The same versioned-commit mechanism as merge_batch makes
+    crash-replay safe."""
+    spark = batch_df.sparkSession
+    vname = f"v{batch_id:010d}"
+    versions = _committed_versions(spark, target_path)
+    if vname in versions:
+        return False
+    # State keeps the EXACT integer-cents sum (BIGINT): adding already
+    # divided doubles batch-by-batch would drift by an ulp per merge
+    # and diverge from the from-scratch batch aggregate. Divide on read.
+    part = batch_df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents(value_col)).cast("long").alias("sum_cents"),
+    )
+    older = [v for v in versions if v < vname]
+    if older:
+        base = spark.read.parquet(f"{target_path}/{older[-1]}")
+        part = (
+            base.select(
+                group_col,
+                F.col("n").alias("__bn"),
+                F.col("sum_cents").alias("__bs"),
+            )
+            .join(part, group_col, "full_outer")
+            .select(
+                group_col,
+                (
+                    F.coalesce(F.col("__bn"), F.lit(0))
+                    + F.coalesce(F.col("n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("__bs"), F.lit(0))
+                    + F.coalesce(F.col("sum_cents"), F.lit(0))
+                ).cast("long").alias("sum_cents"),
+            )
+        )
+    part.write.mode("overwrite").parquet(f"{target_path}/{vname}")
+    _gc_versions(spark, target_path)
+    return True
+
+
+def run_foreach_batch_incremental_agg(
+    df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """foreachBatch sink maintaining a running (count, sum) aggregate
+    per group across micro-batches — the incremental-materialized-view
+    pattern for metrics a 100 TB stream can't re-aggregate from scratch
+    per batch."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_agg_batch(
+            batch_df, batch_id, target_path, group_col=group_col, value_col=value_col
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

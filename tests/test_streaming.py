@@ -361,3 +361,59 @@ def test_stream_static_enrichment_matches_batch(spark, sf_small):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_incremental_agg_multibatch_matches_batch(spark, sf_small, tmp_path):
+    """Running (count, exact-cents sum) folded batch-by-batch over a
+    4-file stream (maxFilesPerTrigger=1 → 4 micro-batches) equals the
+    from-scratch batch aggregate, bit-exactly."""
+    from statcan_etl_pipeline_spark.functions.portable import cents
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        read_merge_target,
+        run_foreach_batch_incremental_agg,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "agg")
+    run_foreach_batch_incremental_agg(
+        stream, target, checkpoint_dir=str(tmp_path / "ck")
+    )
+    got = {
+        tuple(r)
+        for r in read_merge_target(spark, target)
+        .select("event_type", "n", "sum_cents")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents("value")).cast("long").alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_agg_replay_is_noop(spark, sf_small, tmp_path):
+    """Re-folding an already-committed batch id must not double-count."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        incremental_agg_batch,
+        read_merge_target,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "value")
+    target = str(tmp_path / "agg")
+    assert incremental_agg_batch(ev, 0, target) is True
+    before = {tuple(r) for r in read_merge_target(spark, target).collect()}
+    assert incremental_agg_batch(ev, 0, target) is False  # replay: skip
+    after = {tuple(r) for r in read_merge_target(spark, target).collect()}
+    assert after == before
