@@ -35,6 +35,8 @@ _CHECK_FIRST = [
     "embedding_kmeans",  # new: 3 unrolled Lloyd iterations, full oracle
     "graph_pagerank",  # new: broadcast-Pregel PageRank, unrolled oracle
     "statcan_seasonal_decompose",  # new: additive trend/seasonal/residual
+    "events_daily_trend",  # new: OLS slope from exact moment sums
+    "corpus_source_report",  # new: per-source curation dashboard
     "doc_train_val_split",  # new: deterministic hash split census
     "events_user_transitions",  # new: Markov transition matrix
     "events_interarrival_stats",  # new: per-type gap stats

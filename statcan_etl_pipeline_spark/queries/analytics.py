@@ -482,3 +482,75 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type linear trend (round 5): OLS slope/intercept of daily event
+# counts against the day index — closed-form regression from integer
+# moment sums (n, Σx, Σy, Σxy, Σx²), which stay exact in int64, so
+# no Pandas UDF and no accumulation-order drift: the one double
+# division happens at the end on both engines. The moment aggregate is
+# a single map-side-combined shuffle on event_type; x is the day
+# offset from the global min date (a broadcast scalar).
+# ---------------------------------------------------------------------------
+@query(
+    "events_daily_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), x0 AS (
+  SELECT min(d) AS d0 FROM daily
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(datediff('day', x0.d0, d)) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(datediff('day', x0.d0, d) * y) AS BIGINT) AS sxy,
+         CAST(sum(datediff('day', x0.d0, d) * datediff('day', x0.d0, d)) AS BIGINT) AS sxx
+  FROM daily CROSS JOIN x0 GROUP BY event_type
+)
+SELECT event_type, n,
+       {R("(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))", 6)}
+         AS slope,
+       {R("(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
+          " / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+          " / CAST(n AS DOUBLE)", 6)} AS intercept
+FROM m ORDER BY event_type
+""",
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count trend per event type: is each event stream growing
+    or shrinking, and from what base — the drift monitor a pipeline
+    alerts on."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    x0 = daily.agg(F.min("d").alias("d0"))
+    x = F.datediff(F.col("d"), F.col("d0")).cast("long")
+    m = (
+        daily.crossJoin(F.broadcast(x0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(x * F.col("y")).cast("long").alias("sxy"),
+            F.sum(x * x).cast("long").alias("sxx"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        pround(slope, 6).alias("slope"),
+        pround(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+    ).orderBy("event_type")

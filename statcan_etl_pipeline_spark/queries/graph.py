@@ -108,8 +108,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    # repartition on src so the degree aggregate and every iteration's
+    # contribution join consume ONE materialized shuffle of the edge
+    # list instead of re-deriving it (orders⋈lineitem + distinct) per
+    # consumer — 4 recomputes at 3 iterations, ~3× slower at sf0.1
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .union(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+        .repartition("src")
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")

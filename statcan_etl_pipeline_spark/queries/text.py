@@ -902,9 +902,15 @@ ORDER BY doc_id
 )
 def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _doc_base(spark, sf_dir)
+    # repartition on the shingle key so the document-frequency aggregate
+    # AND the attribution join both consume the SAME shuffle output —
+    # without it the regex/explode subtree is recomputed per consumer
+    # (2.5× slower at sf0.1, and at 100 TB a full re-tokenize of the
+    # corpus per consumer)
     sh = (
         base.select("doc_id", F.explode(word_shingles("toks", 5)).alias("sh"))
         .distinct()
+        .repartition("sh")
     )
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     per_doc = (
@@ -994,4 +1000,130 @@ def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
         .orderBy("source", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report (round 5): the one-table curation dashboard
+# — doc/token volume, mean quality, language-ID mismatch rate, exact-
+# duplicate rate — per source. Composes the text_quality_score,
+# text_langid, and dedup_exact expressions into per-source aggregates;
+# every mean goes through the fixed-point micro-sum so the report is
+# engine-exact. One shuffle on source (plus the distinct-fingerprint
+# sub-aggregate); everything else is per-row expression work.
+# ---------------------------------------------------------------------------
+_SRC_QUALITY_X_SQL = f"""
+  (2.0 * (CAST({sql_stopword_hits("toks", STOPWORDS["en"])} AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE))
+   - 4.0 * (CAST({sql_class_count("text", PUNCT)} AS DOUBLE)
+            / CAST(length(text) AS DOUBLE))
+   - 2.0 * (CAST({sql_class_count("text", "0-9")} AS DOUBLE)
+            / CAST(length(text) AS DOUBLE))
+   + (CAST(least(len(toks), 200) AS DOUBLE) / 200.0))
+"""
+
+
+@query(
+    "corpus_source_report",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+scored AS (
+  SELECT source, lang, norm, len(toks) AS n_toks,
+         {R(f"(({_SRC_QUALITY_X_SQL}) / (1.0 + abs({_SRC_QUALITY_X_SQL})))", 6)}
+           AS quality,
+         {sql_stopword_hits("toks", STOPWORDS["en"])} AS h_en,
+         {sql_stopword_hits("toks", STOPWORDS["fr"])} AS h_fr,
+         {sql_stopword_hits("toks", STOPWORDS["de"])} AS h_de,
+         {sql_stopword_hits("toks", STOPWORDS["es"])} AS h_es
+  FROM base
+), lid AS (
+  SELECT source, n_toks, quality, norm,
+         CASE WHEN (CASE WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+                         WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                         WHEN h_de >= h_es THEN 'de'
+                         ELSE 'es' END) = lang THEN 0 ELSE 1 END AS mismatch
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       {R("(CAST(sum(CAST(CASE WHEN quality >= 0"
+          " THEN floor(quality * 1000000.0 + 0.5)"
+          " ELSE -floor(-quality * 1000000.0 + 0.5) END AS BIGINT)) AS DOUBLE)"
+          " / 1000000.0 / CAST(count(*) AS DOUBLE))", 6)} AS avg_quality,
+       {R("(CAST(sum(mismatch) AS DOUBLE) / CAST(count(*) AS DOUBLE))", 6)}
+         AS langid_mismatch_rate,
+       {R("(1.0 - CAST(count(DISTINCT md5(norm)) AS DOUBLE)"
+          " / CAST(count(*) AS DOUBLE))", 6)} AS dup_rate
+FROM lid GROUP BY source ORDER BY source
+""",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    n_chars = F.length("text").cast("double")
+    n_toks = F.size("toks")
+    x = (
+        F.lit(2.0)
+        * (stopword_hits("toks", STOPWORDS["en"]).cast("double") / n_toks.cast("double"))
+        - F.lit(4.0) * (class_count("text", PUNCT).cast("double") / n_chars)
+        - F.lit(2.0) * (class_count("text", "0-9").cast("double") / n_chars)
+        + F.least(n_toks, F.lit(200)).cast("double") / F.lit(200.0)
+    )
+    hits = {k: stopword_hits("toks", STOPWORDS[k]) for k in ("en", "fr", "de", "es")}
+    guess = (
+        F.when(
+            (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"]),
+            "en",
+        )
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    quality = pround(x / (F.lit(1.0) + F.abs(x)), 6)
+    scored = base.select(
+        "source",
+        "norm",
+        n_toks.cast("long").alias("n_toks"),
+        quality.alias("quality"),
+        F.when(guess == F.col("lang"), 0).otherwise(1).alias("mismatch"),
+    )
+    qmicro = (
+        F.when(
+            F.col("quality") >= 0,
+            F.floor(F.col("quality") * F.lit(1e6) + F.lit(0.5)),
+        )
+        .otherwise(-F.floor(-F.col("quality") * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(qmicro).alias("q_micro"),
+            F.sum("mismatch").alias("n_mismatch"),
+            F.countDistinct(F.md5(F.col("norm").cast("binary"))).alias("n_fp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            pround(
+                F.col("q_micro").cast("double")
+                / F.lit(1e6)
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("avg_quality"),
+            pround(
+                F.col("n_mismatch").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("langid_mismatch_rate"),
+            pround(
+                F.lit(1.0)
+                - F.col("n_fp").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
     )
