@@ -29,6 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
     # --- round 5: new or changed — must be verified this round ---
+    "doc_unigram_rarity",  # new: rational unigram-LM rarity score
+    "doc_global_shuffle",  # new: deterministic epoch shuffle, 2-pass prefix sum
+    "corpus_length_trim",  # new: per-source p05/p95 winsorise census
+    "pii_scan_tables",  # new: PII regex scan over text-bearing columns
+    "benford_order_totals",  # new: first-digit forensic audit
+    "gini_customer_revenue",  # new: concentration via sharded prefix sum
+    "events_moving_corr_7d",  # new: trailing 7-day rolling correlation
+    "events_variant_stats",  # new: Spark-4 VARIANT ingestion of props
+    "pipe_syntax_priority_summary",  # new: SQL pipe syntax surface
     "dedup_embedding_groups",  # new: LSH pairs -> components -> keep/drop
     "corpus_mixture_resample",  # new: deterministic language-mixture sampler
     "boilerplate_ngram_ratio",  # new: cross-doc repeated-ngram share

@@ -47,7 +47,9 @@ def _load_all() -> None:
     # Import for registration side effects.
     from .queries import (  # noqa: F401
         analytics,
+        analytics2,
         approx,
+        curation,
         dedup,
         embeddings,
         etl,
@@ -57,6 +59,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         similarity,
+        spark4,
         temporal,
         text,
     )

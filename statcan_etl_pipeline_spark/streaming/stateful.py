@@ -46,3 +46,61 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x): the successor API —
+# composable typed state (ValueState/ListState/MapState), timers, and
+# state TTL, replacing the single-tuple state of
+# applyInPandasWithState. Same job as above (per-user running totals)
+# so the two APIs can be parity-checked against each other and against
+# the batch aggregate. Requires the RocksDB state store provider AND
+# google.protobuf in the Python env (the state-server protocol) — the
+# parity test skips itself where protobuf is absent (this sandbox),
+# mirroring the multimodal codec guard.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """ValueState-backed cumulative (n_events, total_value) per user."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n bigint, total double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (
+            self._totals.get() if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas flavor of stateful_user_totals."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotalsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -419,3 +419,31 @@ def test_doc_token_chunks_no_contained_chunk(spark):
         F.col("tok_total") != (F.col("n_chunks") - 1) * F.lit(_OVERLAP) + F.col("span_end")
     )
     assert chk.count() == 0
+
+
+def test_pii_scrub_redacts_all_kinds(spark):
+    """scrub() replaces emails/IPs/phones/digit-runs with class tags
+    and leaves clean text untouched (functions/pii.py)."""
+    from statcan_etl_pipeline_spark.functions.pii import pii_counts, scrub
+
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk please"),
+        (2, "server 10.0.255.3 rebooted"),
+        (3, "call 555-867-5309 or 555 123 4567"),
+        (4, "order id 123456789 confirmed"),
+        (5, "totally clean text with the number 42"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = {r["id"]: r["red"] for r in df.select("id", scrub("s").alias("red")).collect()}
+    assert out[1] == "mail me at [EMAIL] please"
+    assert out[2] == "server [IP] rebooted"
+    assert "[PHONE]" in out[3] and not any(ch.isdigit() for ch in out[3])
+    assert out[4] == "order id [NUM] confirmed"
+    assert out[5] == rows[4][1]
+    counts = df.select("id", *pii_counts("s").values()).collect()
+    by_id = {r["id"]: r for r in counts}
+    assert by_id[1]["n_email"] == 1 and by_id[1]["n_digit_run"] == 0
+    assert by_id[2]["n_ipv4"] == 1
+    assert by_id[3]["n_phone"] == 2
+    assert by_id[4]["n_digit_run"] == 1
+    assert all(by_id[5][c] == 0 for c in by_id[5].asDict() if c.startswith("n_"))

@@ -276,3 +276,36 @@ def test_pagerank_rank_state_is_broadcast_per_iteration(spark, sf_small):
     assert plan.count("BroadcastHashJoin") >= 3  # one rank join per iteration
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_global_shuffle_rank_window_partitions_by_bucket(spark, sf_small):
+    """doc_global_shuffle's per-row rank window must partition by the
+    256-value hash bucket; the only partition-less window allowed is
+    the exclusive prefix sum over the 256-row bucket-count aggregate."""
+    plan = _plan(spark, "doc_global_shuffle", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "skey" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_gini_rank_window_partitions_by_bucket(spark, sf_small):
+    """gini_customer_revenue ranks customers inside 256 value-range
+    buckets (two-pass prefix sum), never through one global orderBy
+    window over the customer table."""
+    plan = _plan(spark, "gini_customer_revenue", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "o_custkey" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_unigram_rarity_vocab_join_is_broadcast(spark, sf_small):
+    """The vocab (token->freq) side of doc_unigram_rarity's per-token
+    join must broadcast — shuffling the exploded token stream on word
+    would dominate the query at corpus scale."""
+    plan = _plan(spark, "doc_unigram_rarity", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

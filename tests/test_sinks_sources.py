@@ -237,3 +237,57 @@ def test_parse_kafka_events_static_batch(spark):
     assert out[2]["is_malformed"] is True and out[2]["event_id"] is None
     assert not out[1]["is_malformed"]
     assert str(out[1]["ts"]) == "2024-01-01 10:00:00"
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, sf_small):
+    """ORC round-trip: values survive, partition pruning works, and
+    predicates reach the ORC scan (PushedFilters), matching the
+    parquet sink's surface."""
+    from statcan_etl_pipeline_spark.sinks.writers import read_orc, write_orc
+
+    nat = load_table(spark, sf_small, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "orc")
+        write_orc(nat, p, partition_cols=["n_regionkey"])
+        back = read_orc(spark, p).select("n_nationkey", "n_name", "n_regionkey")
+        got = {(int(r[0]), r[1], int(r[2])) for r in back.collect()}
+        want = {(int(r[0]), r[1], int(r[2])) for r in nat.collect()}
+        assert got == want
+        pruned = back.filter(F.col("n_regionkey") == 1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "n_regionkey" not in plan or pruned.count() == \
+               nat.filter(F.col("n_regionkey") == 1).count()
+        filt = read_orc(spark, p).filter(F.col("n_nationkey") > 10)
+        fplan = filt._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in fplan and "n_nationkey" in fplan
+
+
+def test_python_datasource_wds_reader_parallel_splits(spark):
+    """Python Data Source API (Spark 4): the wds_py connector plans
+    byte-range splits on the driver and parses them in parallel tasks;
+    every record lands in exactly one split regardless of split count."""
+    from statcan_etl_pipeline_spark.sources.pyds import WdsCsvDataSource
+
+    spark.dataSource.register(WdsCsvDataSource)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "wds.csv")
+        # ~40 data rows so byte cuts land mid-record for every split count
+        rows = [WDS_SAMPLE.strip().splitlines()[0]]
+        for i in range(40):
+            rows.append(
+                f"2024-{i % 12 + 1:02d},Geo{i},2016A{i:06d},All items,Index,"
+                f"347,units,0,v{i:08d},1.{i},{100 + i}.5,,,,1"
+            )
+        with open(p, "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+        want = {(f"v{i:08d}", 100 + i + 0.5) for i in range(40)}
+        for splits in (1, 3, 7):
+            df = (
+                spark.read.format("wds_py")
+                .option("path", p)
+                .option("splits", str(splits))
+                .load()
+            )
+            assert df.rdd.getNumPartitions() == splits
+            got = {(r["vector"], r["value"]) for r in df.collect()}
+            assert got == want, f"splits={splits}"
