@@ -29,6 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
     # --- round 5: new or changed — must be verified this round ---
+    "udtf_token_positions",  # new: Python UDTF lateral join (Spark 4)
+    "funnel_time_to_convert",  # new: per-cohort conversion-gap percentiles
+    "customer_ltv_cohort",  # new: LTV cohort triangle
+    "supplier_share_of_nation",  # new: top-5 revenue share + rank per nation
+    "chi2_segment_priority",  # new: χ² independence audit, per-cell
+    "supplier_hhi_by_nation",  # new: Herfindahl concentration index
+    "pareto_frontier_parts",  # new: distributed skyline, bucketed prefix max
+    "part_copurchase_triangles",  # new: degree-ordered triangle census
+    "orders_open_intervals_daily",  # new: sweep-line interval concurrency
+    "doc_simpson_diversity",  # new: rational token-diversity score
+    "events_strict_funnel_pattern",  # new: strict-sequence pattern match
     "doc_unigram_rarity",  # new: rational unigram-LM rarity score
     "doc_global_shuffle",  # new: deterministic epoch shuffle, 2-pass prefix sum
     "corpus_length_trim",  # new: per-source p05/p95 winsorise census

@@ -120,3 +120,30 @@ def real_decode_image(df: DataFrame) -> DataFrame:
         "image decoding requires PIL/opencv, not present in this environment; "
         "use fake_decode_features for plumbing tests"
     )
+
+
+def ingest_binary_files(
+    spark,
+    path: str,
+    glob: str | None = None,
+    kind: str = "application/octet-stream",
+) -> DataFrame:
+    """Media-lake ingest via Spark's binaryFile source: one row per
+    file with (path, modificationTime, length, content), re-shaped to
+    the engine's payload+metadata contract. The source prunes on
+    pathGlobFilter and never reads `content` unless the plan needs it
+    (column pruning applies to file bytes too), so catalog-only scans
+    of a 100 TB media lake stay metadata-sized."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("path").alias("uri"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5(F.col("content")).alias("digest"),
+        ).alias("media_meta"),
+    )

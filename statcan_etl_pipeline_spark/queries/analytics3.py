@@ -1,0 +1,716 @@
+"""Statistical / graph / interval analytics (round 5, third wave):
+chi-square independence audit, Herfindahl concentration, Pareto
+frontier (distributed skyline), co-purchase triangle counting,
+sweep-line interval concurrency, Simpson token diversity, and strict
+sequential funnel pattern matching.
+
+House rules as everywhere else (see curation.py): JVM-side expressions
+only, rational arithmetic (no ln/exp), exact int64/decimal fixed-point
+sums before any division, portable half-away-from-zero rounding, and a
+mirrored DuckDB oracle per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import cents, pround, sql_cents, sql_round as R
+from ..registry import query
+from .text import _DOC_BASE_SQL, _doc_base
+
+def _rev() -> F.Column:
+    # built lazily: Column arithmetic needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: market segment × order priority.
+# The contingency table is a single map-side-combinable groupBy over the
+# orders⋈customer join; row/column margins and the grand total are tiny
+# aggregates of THAT table (broadcast back), so the only wide shuffle is
+# the fact-side count. Expected counts and chi² contributions are plain
+# rational arithmetic — exact integers until the one division per cell.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi2_segment_priority",
+    oracle=f"""
+WITH cells AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+), rowt AS (
+  SELECT segment, CAST(sum(obs) AS BIGINT) AS row_n FROM cells GROUP BY segment
+), colt AS (
+  SELECT priority, CAST(sum(obs) AS BIGINT) AS col_n FROM cells GROUP BY priority
+), tot AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+)
+SELECT c.segment, c.priority, c.obs,
+       {R("(CAST(r.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))", 4)}
+         AS expected,
+       {R("(CAST(t.n AS DOUBLE) * CAST(c.obs AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE))"
+          " * (CAST(t.n AS DOUBLE) * CAST(c.obs AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE))"
+          " / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(r.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE))", 6)}
+         AS contrib
+FROM cells c
+JOIN rowt r USING (segment)
+JOIN colt ct USING (priority)
+CROSS JOIN tot t
+ORDER BY segment, priority
+""",
+)
+def chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rowt = cells.groupBy("segment").agg(F.sum("obs").cast("long").alias("row_n"))
+    colt = cells.groupBy("priority").agg(F.sum("obs").cast("long").alias("col_n"))
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    n = F.col("n").cast("double")
+    obs = F.col("obs").cast("double")
+    rn = F.col("row_n").cast("double")
+    cn = F.col("col_n").cast("double")
+    # (n·obs − row·col)² / (n²·row·col) ≡ (obs − exp)²/exp with exact
+    # integer-valued doubles in the numerator (counts ≪ 2^53)
+    diff = n * obs - rn * cn
+    return (
+        cells.join(F.broadcast(rowt), "segment")
+        .join(F.broadcast(colt), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "priority",
+            "obs",
+            pround(rn * cn / n, 4).alias("expected"),
+            pround(diff * diff / (n * n * rn * cn), 6).alias("contrib"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman index of supplier revenue concentration per
+# nation. HHI = Σ (share_i)² = Σ rev_i² / (Σ rev_i)² — computed from
+# exact per-supplier fixed-point revenue sums; the squares accumulate in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the per-nation reduction
+# is order-independent and overflow-free. One wide shuffle (supplier
+# revenue), then nation-level aggregation of an already-small table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_hhi_by_nation",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({sql_cents(_REV_SQL)}) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_suppkey
+), bynation AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT)) AS HUGEINT) AS sq
+  FROM rev
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, n_suppliers,
+       {R("(CAST(s AS DOUBLE) / 100.0)", 2)} AS nation_rev,
+       {R("(CAST(sq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))", 6)} AS hhi
+FROM bynation
+ORDER BY n_name
+""",
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents(_rev())).cast("long").alias("rev_c"))
+    dec = "decimal(38,0)"
+    bynation = (
+        rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("rev_c").cast(dec)).alias("s"),
+            F.sum(F.col("rev_c").cast(dec) * F.col("rev_c").cast(dec)).alias("sq"),
+        )
+    )
+    s_d = F.col("s").cast("double")
+    return bynation.select(
+        "n_name",
+        "n_suppliers",
+        pround(s_d / F.lit(100.0), 2).alias("nation_rev"),
+        pround(F.col("sq").cast("double") / (s_d * s_d), 6).alias("hhi"),
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): parts not dominated on (min price, max
+# size). p is dominated iff some q has price ≤ p.price, size ≥ p.size,
+# with at least one strict. A naive skyline is an O(n²) self-join; the
+# scale path is the house two-pass prefix pattern over ordered
+# value-range buckets (same as gini_customer_revenue): per-bucket
+# strict-predecessor max via a bucket-partitioned RANGE window on the
+# fixed-point price (so equal prices are excluded exactly), plus an
+# exclusive cross-bucket prefix max over the 256-row bucket summary.
+# Equal-price domination uses the RANGE(0,0) frame. All comparisons are
+# integer (price in cents), hence bit-stable across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle=f"""
+WITH px AS (
+  SELECT p_partkey, p_size, {sql_cents("p_retailprice")} AS price_c
+  FROM part
+)
+SELECT p.p_partkey, {R("(CAST(p.price_c AS DOUBLE) / 100.0)", 2)} AS price,
+       p.p_size
+FROM px p
+WHERE NOT EXISTS (
+  SELECT 1 FROM px q
+  WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+    AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+)
+ORDER BY p.p_partkey
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", cents("p_retailprice").cast("long").alias("price_c")
+    )
+    # 256 ordered value-range buckets from the max price (singleton agg).
+    # Bucket id is monotone in price, so bucket b strictly precedes b+1.
+    mx = part.agg(F.max("price_c").alias("mx"))
+    bucketed = part.crossJoin(F.broadcast(mx)).select(
+        "p_partkey",
+        "p_size",
+        "price_c",
+        (F.col("price_c") * 256 / (F.col("mx") + 1)).cast("long").alias("bucket"),
+    )
+    # cross-bucket exclusive prefix max of size (256-row summary window)
+    bmax = bucketed.groupBy("bucket").agg(F.max("p_size").alias("bsize"))
+    woff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bmax.select(
+        "bucket", F.max("bsize").over(woff).alias("prev_bucket_max")
+    )
+    # within-bucket: RANGE frames on the integer price key — strict
+    # predecessors via (unboundedPreceding, -1), equal-price peers via
+    # (0, 0). Bucket partitions are value-bounded (~n/256 each).
+    wlt = W.partitionBy("bucket").orderBy("price_c").rangeBetween(
+        W.unboundedPreceding, -1
+    )
+    weq = W.partitionBy("bucket").orderBy("price_c").rangeBetween(0, 0)
+    flagged = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "p_partkey",
+        "price_c",
+        "p_size",
+        F.greatest(
+            F.coalesce(F.max("p_size").over(wlt), F.lit(-1)),
+            F.coalesce(F.col("prev_bucket_max"), F.lit(-1)),
+        ).alias("lt_max"),
+        F.max("p_size").over(weq).alias("eq_max"),
+    )
+    return (
+        flagged.filter(
+            ~((F.col("lt_max") >= F.col("p_size")) | (F.col("eq_max") > F.col("p_size")))
+        )
+        .select(
+            "p_partkey",
+            pround(F.col("price_c").cast("double") / F.lit(100.0), 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the part co-purchase graph. Edges: unordered part
+# pairs sharing an order (pair expansion is bounded per order by the
+# order's item count — no cartesian). Triangle counting uses the
+# degree-ordered node-iterator: orient every edge from the (degree, id)-
+# smaller endpoint to the larger, build wedges by joining oriented edges
+# on their source, and close each wedge against the oriented edge set —
+# out-degrees are O(√m) under this orientation, so the wedge join is
+# subquadratic at any scale. The global clustering coefficient
+# 3·T / Σ C(d,2) is exact rational arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_copurchase_triangles",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+), wedges AS (
+  SELECT a.t AS x, b.t AS y
+  FROM oriented a JOIN oriented b ON a.s = b.s AND a.t < b.t
+), tri AS (
+  -- two equi-joins, not one OR-join (an OR join condition degrades to a
+  -- nested-loop plan); each undirected edge exists in exactly one
+  -- orientation, so the branches are disjoint
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT w.x FROM wedges w JOIN oriented o ON w.x = o.s AND w.y = o.t
+    UNION ALL
+    SELECT w.x FROM wedges w JOIN oriented o ON w.y = o.s AND w.x = o.t
+  )
+), summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_open_wedges
+  FROM deg
+), ecount AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+)
+SELECT s.n_nodes, e.n_edges, t.n_triangles,
+       {R("(3.0 * CAST(t.n_triangles AS DOUBLE) / CAST(s.n_open_wedges AS DOUBLE))", 6)}
+         AS clustering_coeff
+FROM summary s CROSS JOIN ecount e CROSS JOIN tri t
+""",
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lesser = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lesser, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lesser, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    wa = oriented.select(F.col("s"), F.col("t").alias("x"))
+    wb = oriented.select(F.col("s"), F.col("t").alias("y"))
+    wedges = wa.join(wb, "s").filter(F.col("x") < F.col("y")).select("x", "y")
+    # close the wedge in either orientation (degree order of (x, y) is
+    # unknown); both probes hit the same shuffled edge set
+    o1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    closed = wedges.join(o1, ["x", "y"], "left_semi").unionAll(
+        wedges.join(
+            o1.select(F.col("y").alias("x"), F.col("x").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_open_wedges"),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            pround(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_open_wedges").cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency by sweep line: how many order→ship intervals are
+# "open" on each calendar day. Each lineitem contributes +1 at its
+# order date and −1 the day after its ship date; the per-day net is one
+# map-combinable shuffle, and the running sum runs over the POST-
+# AGGREGATE daily series (calendar-bounded — same single-small-window
+# precedent as events_moving_corr_7d). Day arithmetic is integer
+# (days since epoch), so the cumulative count is exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_open_intervals_daily",
+    oracle="""
+WITH li AS (
+  SELECT CAST(floor(epoch(o.o_orderdate) / 86400.0) AS BIGINT) AS d0,
+         CAST(floor(epoch(l.l_shipdate) / 86400.0) AS BIGINT) AS d1
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+), deltas AS (
+  SELECT d0 AS day_num, CAST(1 AS BIGINT) AS delta FROM li
+  UNION ALL
+  SELECT d1 + 1, CAST(-1 AS BIGINT) FROM li
+), daily AS (
+  SELECT day_num, CAST(sum(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY day_num
+)
+SELECT day_num,
+       CAST(sum(net) OVER (ORDER BY day_num
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_cnt
+FROM daily
+ORDER BY day_num
+""",
+)
+def orders_open_intervals_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    day = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(86400.0)).cast("long")
+    iv = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(day("o_orderdate").alias("d0"), day("l_shipdate").alias("d1"))
+    )
+    deltas = iv.select(F.col("d0").alias("day_num"), F.lit(1).cast("long").alias("delta")).unionAll(
+        iv.select((F.col("d1") + 1).alias("day_num"), F.lit(-1).cast("long").alias("delta"))
+    )
+    daily = deltas.groupBy("day_num").agg(F.sum("delta").cast("long").alias("net"))
+    # post-aggregate series is calendar-bounded (~thousands of rows at
+    # any SF) — the single window here is over that summary, not facts
+    wcum = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day_num", F.sum("net").over(wcum).cast("long").alias("open_cnt")
+    ).orderBy("day_num")
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of each document's token distribution:
+# 1 − Σ cᵢ² / n² — the rational stand-in for token entropy (no
+# transcendentals, so it cross-checks bit-exactly). High values ≈
+# diverse vocabulary; boilerplate and keyword-stuffed spam score low.
+# Two map-combinable aggregations over the exploded token stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_simpson_diversity",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+toks AS (
+  SELECT doc_id, unnest(toks) AS word FROM base
+), wc AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_toks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       {R("(1.0 - CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)))", 6)}
+         AS simpson
+FROM wc
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    wc = (
+        base.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.sum("c").cast("long")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            n.alias("n_toks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            pround(
+                F.lit(1.0)
+                - F.sum(F.col("c") * F.col("c")).cast("double")
+                / (n.cast("double") * n.cast("double")),
+                6,
+            ).alias("simpson"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict sequential pattern match (MATCH_RECOGNIZE shape): per user,
+# find view → cart → purchase as three CONSECUTIVE events completing
+# within 30 minutes. lead() over per-user event order — partitions are
+# bounded by per-user activity, never global. Time deltas in integer
+# microseconds (epoch_us ↔ unix_micros with the NTZ-safe cast).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_strict_funnel_pattern",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(epoch_us(ts), 2) OVER w AS us2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_strict_funnels
+FROM seq
+WHERE event_type = 'view' AND t1 = 'cart' AND t2 = 'purchase'
+  AND us2 - us <= 1800 * 1000000
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_strict_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(us, 2).over(w).alias("us2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "cart")
+            & (F.col("t2") == "purchase")
+            & (F.col("us2") - F.col("us") <= 1800 * 1000000)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_strict_funnels"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles per signup-week cohort: for each
+# user, first 'view' and the first 'purchase' at-or-after it; the gap
+# distribution (exact integer microseconds, percentile_disc so the
+# reported values are actual data points) grouped by the week of the
+# first view. Both aggregations pre-reduce per user before the join,
+# and the percentile sort runs inside each cohort-week group — never
+# one global ordered reduction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, min(epoch_us(ts)) AS fv_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS fp_us
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.fv_us
+  GROUP BY e.user_id
+), conv AS (
+  SELECT CAST(floor(floor(fv.fv_us / 86400000000.0) / 7.0) AS BIGINT) AS cohort_week,
+         fp.fp_us - fv.fv_us AS delta_us
+  FROM fv JOIN fp ON fv.user_id = fp.user_id
+)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(delta_us, 0.25) AS BIGINT) AS p25_us,
+       CAST(quantile_disc(delta_us, 0.50) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(delta_us, 0.75) AS BIGINT) AS p75_us
+FROM conv
+GROUP BY cohort_week
+ORDER BY cohort_week
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("fv_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(fv, "user_id")
+        .filter(F.col("p_us") >= F.col("fv_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("fp_us"))
+    )
+    conv = fv.join(fp, "user_id").select(
+        F.floor(F.floor(F.col("fv_us") / F.lit(86400000000.0)) / F.lit(7.0))
+        .cast("long")
+        .alias("cohort_week"),
+        (F.col("fp_us") - F.col("fv_us")).alias("delta_us"),
+    )
+    return (
+        conv.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY delta_us)")
+            .cast("long")
+            .alias("p25_us"),
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY delta_us)")
+            .cast("long")
+            .alias("p50_us"),
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY delta_us)")
+            .cast("long")
+            .alias("p75_us"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer-LTV cohort triangle: customers grouped by first-order month,
+# revenue tracked by months-since-acquisition. Month arithmetic is the
+# integer ordinal year·12+month (identical in both engines); revenue is
+# the exact-cents sum. Per-customer first-order pre-aggregation and the
+# cohort join shuffle on the same key (custkey), so the join is
+# co-partitioned — one effective wide exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_ltv_cohort",
+    oracle=f"""
+WITH first_order AS (
+  SELECT o_custkey,
+         CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS m0
+  FROM orders GROUP BY o_custkey
+)
+SELECT f.m0 AS cohort_month,
+       CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) - f.m0
+         AS months_since,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+       (CAST(sum({sql_cents("o.o_totalprice")}) AS BIGINT) / 100.0) AS revenue
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    first = orders.groupBy("o_custkey").agg(F.min(mo).alias("m0"))
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (mo - F.col("m0")).alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            (F.sum(cents("o_totalprice")).cast("long") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-5 suppliers by revenue share within each nation: per-supplier
+# exact-cents revenue (one wide shuffle), nation totals as a broadcast
+# aggregate of THAT table, rank via a nation-partitioned window
+# (bounded partitions — supplier count per nation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_share_of_nation",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({sql_cents(_REV_SQL)}) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_suppkey
+), located AS (
+  SELECT n_name, s_suppkey, rev_c
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+), tot AS (
+  SELECT n_name, CAST(sum(rev_c) AS BIGINT) AS nat_c FROM located GROUP BY n_name
+), ranked AS (
+  SELECT l.n_name, l.s_suppkey,
+         {R("(CAST(l.rev_c AS DOUBLE) / 100.0)", 2)} AS revenue,
+         {R("(CAST(l.rev_c AS DOUBLE) / CAST(t.nat_c AS DOUBLE))", 6)} AS share,
+         CAST(row_number() OVER (PARTITION BY l.n_name
+           ORDER BY l.rev_c DESC, l.s_suppkey) AS BIGINT) AS rk
+  FROM located l JOIN tot t ON l.n_name = t.n_name
+)
+SELECT n_name, s_suppkey, revenue, share, rk
+FROM ranked WHERE rk <= 5
+ORDER BY n_name, rk
+""",
+)
+def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents(_rev())).cast("long").alias("rev_c"))
+    located = (
+        rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("n_name", F.col("s_suppkey"), "rev_c")
+    )
+    tot = located.groupBy("n_name").agg(F.sum("rev_c").cast("long").alias("nat_c"))
+    w = W.partitionBy("n_name").orderBy(F.desc("rev_c"), F.asc("s_suppkey"))
+    return (
+        located.join(F.broadcast(tot), "n_name")
+        .select(
+            "n_name",
+            "s_suppkey",
+            pround(F.col("rev_c").cast("double") / F.lit(100.0), 2).alias("revenue"),
+            pround(F.col("rev_c").cast("double") / F.col("nat_c").cast("double"), 6).alias(
+                "share"
+            ),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("n_name", "rk")
+    )

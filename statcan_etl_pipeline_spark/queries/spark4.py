@@ -88,3 +88,52 @@ ORDER BY o_orderpriority
 def pipe_syntax_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4) in a LATERAL join: one input row fans out to N
+# output rows from user Python. The UDTF enumerates a document's token
+# array with 1-based positions — deliberately NOT re-tokenizing (the
+# tokenizer stays JVM-side; the UDTF's job here is table generation).
+# Python is the slow path, so the demo runs over a deterministic ~1%
+# doc_id sample and is Arrow-batched. Oracle: DuckDB's parallel
+# unnest + generate_subscripts.
+# ---------------------------------------------------------------------------
+
+
+def _udtf_oracle() -> str:
+    from .text import _DOC_BASE_SQL
+
+    return f"""
+WITH base AS ({_DOC_BASE_SQL})
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+       unnest(toks) AS word
+FROM base
+WHERE doc_id % 97 = 0
+ORDER BY doc_id, pos
+"""
+
+
+@query("udtf_token_positions", oracle=_udtf_oracle())
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from .text import _doc_base
+
+    @udtf(returnType="pos: long, word: string", useArrow=True)
+    class EnumTokens:
+        def eval(self, toks):  # noqa: ANN001 — UDTF contract
+            for i, w in enumerate(toks or []):
+                yield (i + 1, w)
+
+    spark.udtf.register("enum_tokens", EnumTokens)
+    base = _doc_base(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    base.select("doc_id", "toks").createOrReplaceTempView("udtf_doc_toks")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.word
+        FROM udtf_doc_toks, LATERAL enum_tokens(toks) t
+        ORDER BY doc_id, pos
+        """
+    )

@@ -48,6 +48,7 @@ def _load_all() -> None:
     from .queries import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         approx,
         curation,
         dedup,

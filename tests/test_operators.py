@@ -447,3 +447,29 @@ def test_pii_scrub_redacts_all_kinds(spark):
     assert by_id[3]["n_phone"] == 2
     assert by_id[4]["n_digit_run"] == 1
     assert all(by_id[5][c] == 0 for c in by_id[5].asDict() if c.startswith("n_"))
+
+
+def test_binary_file_ingest_to_payload_contract(spark, tmp_path):
+    """binaryFile source → payload/media_meta contract: bytes survive,
+    glob filters prune files, and the decode stub runs downstream."""
+    from statcan_etl_pipeline_spark.operators.multimodal import (
+        fake_decode_features,
+        ingest_binary_files,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (d / "b.bin").write_bytes(b"payload-b")
+    (d / "skip.txt").write_bytes(b"not media")
+    df = ingest_binary_files(spark, str(d), glob="*.bin", kind="test/bin")
+    rows = {r["uri"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["payload"]) == b"\x00\x01\x02payload-a"
+    assert rows["b.bin"]["media_meta"]["n_bytes"] == 9
+    assert rows["b.bin"]["media_meta"]["kind"] == "test/bin"
+    feat = fake_decode_features(
+        df.select(F.xxhash64("uri").alias("doc_id"), "media_meta", "payload")
+    )
+    got = {r["n_bytes"] for r in feat.collect()}
+    assert got == {12, 9}

@@ -309,3 +309,67 @@ def test_unigram_rarity_vocab_join_is_broadcast(spark, sf_small):
     plan = _plan(spark, "doc_unigram_rarity", sf_small)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_windows_partition_by_bucket(spark, sf_small):
+    """pareto_frontier_parts computes strict-predecessor max inside 256
+    value-range buckets; per-row windows must partition by bucket (the
+    only partition-less window is the 256-row cross-bucket prefix max)."""
+    plan = _plan(spark, "pareto_frontier_parts", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "price_c" in ln and "p_size" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_triangle_census_no_cartesian(spark, sf_small):
+    """Edge build, wedge join, and wedge closing are all equi-joins —
+    a CartesianProduct or nested-loop join anywhere means the degree-
+    ordered node-iterator degenerated to all-pairs."""
+    plan = _plan(spark, "part_copurchase_triangles", sf_small)
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoins allowed are the singleton-
+    # aggregate crossJoins stitching the final 1-row summary together
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, ln
+
+
+def test_chi2_margin_joins_are_broadcast(spark, sf_small):
+    """Row/column margins and the grand total are tiny aggregates of the
+    contingency table — they must broadcast back, never shuffle it."""
+    plan = _plan(spark, "chi2_segment_priority", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_strict_funnel_window_partitions_by_user(spark, sf_small):
+    """lead() windows run per user — no global event-ordered window."""
+    plan = _plan(spark, "events_strict_funnel_pattern", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert wins, plan
+    for ln in wins:
+        assert "windowspecdefinition(user_id" in ln, ln
+
+
+def test_supplier_share_rank_window_partitions_by_nation(spark, sf_small):
+    """The share/rank window runs per nation — bounded partitions."""
+    plan = _plan(spark, "supplier_share_of_nation", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert wins, plan
+    for ln in wins:
+        assert "windowspecdefinition(n_name" in ln, ln
+
+
+def test_ltv_cohort_partial_aggregation(spark, sf_small):
+    """Both the first-order reduce and the cohort-cell aggregate must
+    map-side combine before their shuffles."""
+    plan = _plan(spark, "customer_ltv_cohort", sf_small)
+    assert "partial_" in plan
+
+
+def test_udtf_lateral_join_is_python_udtf_node(spark, sf_small):
+    """The UDTF surface actually lowers to a Python UDTF evaluation
+    node (Arrow-batched when available), not a collect-and-reexplode."""
+    plan = _plan(spark, "udtf_token_positions", sf_small)
+    assert "UDTF" in plan, plan

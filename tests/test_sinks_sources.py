@@ -291,3 +291,26 @@ def test_python_datasource_wds_reader_parallel_splits(spark):
             assert df.rdd.getNumPartitions() == splits
             got = {(r["vector"], r["value"]) for r in df.collect()}
             assert got == want, f"splits={splits}"
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, sf_small):
+    """XML sink/source (built into Spark 4): values survive a
+    write→read cycle; the read uses an explicit schema (inference is
+    sampled and order-unstable — production readers always pass one)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from statcan_etl_pipeline_spark.sinks.writers import read_xml, write_xml
+
+    nat = load_table(spark, sf_small, "nation").select(
+        F.col("n_nationkey").cast("long").alias("key"), F.col("n_name").alias("name")
+    )
+    schema = StructType(
+        [StructField("key", LongType()), StructField("name", StringType())]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "xml")
+        write_xml(nat, p, row_tag="nation_row", root_tag="nations")
+        back = read_xml(spark, p, row_tag="nation_row", schema=schema)
+        got = {(int(r[0]), r[1]) for r in back.collect()}
+        want = {(int(r[0]), r[1]) for r in nat.collect()}
+        assert got == want
