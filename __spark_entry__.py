@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # --- round 5: new or changed — must be verified this round ---
     "udtf_token_positions",  # new: Python UDTF lateral join (Spark 4)
+    "doc_language_confusion",  # new: langid confusion matrix
+    "copurchase_degree_distribution",  # new: power-of-2 degree census
+    "events_daily_mad_anomalies",  # new: median/MAD robust anomaly flags
     "funnel_time_to_convert",  # new: per-cohort conversion-gap percentiles
     "customer_ltv_cohort",  # new: LTV cohort triangle
     "supplier_share_of_nation",  # new: top-5 revenue share + rank per nation

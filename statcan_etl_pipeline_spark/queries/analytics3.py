@@ -259,10 +259,9 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "part_copurchase_triangles",
-    oracle=f"""
-WITH items AS (
+# shared edge/degree CTEs (also used by copurchase_degree_distribution)
+_EDGES_SQL = """
+items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), edges AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -272,7 +271,39 @@ WITH items AS (
   SELECT node, CAST(count(*) AS BIGINT) AS d
   FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
   GROUP BY node
-), oriented AS (
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct unordered part pairs sharing an order. Pair expansion is
+    bounded per order by that order's item count — never a cartesian."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def _copurchase_degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+
+
+@query(
+    "part_copurchase_triangles",
+    oracle=f"""
+WITH {_EDGES_SQL}, oriented AS (
   SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
          CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
   FROM edges e
@@ -304,24 +335,8 @@ FROM summary s CROSS JOIN ecount e CROSS JOIN tri t
 """,
 )
 def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     lesser = (F.col("du") < F.col("dv")) | (
@@ -713,4 +728,114 @@ def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
         .orderBy("n_name", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph in power-of-2 bins —
+# the shape check run before any graph algorithm (hub detection, skew
+# sizing for the salted joins). Bin id = bit length of the degree
+# (length of the binary rendering — integer-exact in both engines; no
+# log2). One aggregation over the per-node degree table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "copurchase_degree_distribution",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT CAST(length(bin(d)) AS BIGINT) AS degree_bin,
+       CAST(min(d) AS BIGINT) AS min_degree,
+       CAST(max(d) AS BIGINT) AS max_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = _copurchase_degrees(_copurchase_edges(spark, sf_dir))
+    return (
+        deg.groupBy(F.length(F.bin("d")).cast("long").alias("degree_bin"))
+        .agg(
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+        .orderBy("degree_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection on daily event counts: per-type median and
+# MAD (median absolute deviation) via percentile_disc — both land on
+# ACTUAL integer counts, so every comparison (|n − med| > 3·MAD) is
+# exact integer arithmetic, immune to the mean/σ masking that a z-score
+# suffers when the series contains the very spikes being hunted.
+# The percentile sorts run per event type over the calendar-bounded
+# daily series — bounded groups, no global ordered reduction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_mad_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day_num,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, CAST(quantile_disc(n, 0.5) AS BIGINT) AS med
+  FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, abs(d.n - m.med) AS adev, m.med
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+), mad AS (
+  SELECT event_type, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, m.med, a.mad,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN abs(d.n - m.med) > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM daily d
+JOIN med m ON d.event_type = m.event_type
+JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type, m.med, a.mad
+ORDER BY d.event_type
+""",
+)
+def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long").alias("day_num"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med", F.abs(F.col("n") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .cast("long")
+        .alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
     )

@@ -1127,3 +1127,88 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the declared `lang` label vs the
+# stopword-argmax guess (same expression as text_langid), aggregated to
+# (actual, guess) cells with within-actual shares. The curation QA view
+# of the language classifier — one map-combinable aggregation, margins
+# broadcast back. Shares are exact-integer ratios rounded once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_language_confusion",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+hits AS (
+  SELECT doc_id, lang,
+         {sql_stopword_hits("toks", STOPWORDS["en"])} AS hits_en,
+         {sql_stopword_hits("toks", STOPWORDS["fr"])} AS hits_fr,
+         {sql_stopword_hits("toks", STOPWORDS["de"])} AS hits_de,
+         {sql_stopword_hits("toks", STOPWORDS["es"])} AS hits_es
+  FROM base
+), guessed AS (
+  SELECT lang AS actual_lang,
+         CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+              WHEN hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+              WHEN hits_de >= hits_es THEN 'de'
+              ELSE 'es' END AS guess
+  FROM hits
+), cells AS (
+  SELECT actual_lang, guess, CAST(count(*) AS BIGINT) AS n
+  FROM guessed GROUP BY actual_lang, guess
+), margins AS (
+  SELECT actual_lang, CAST(sum(n) AS BIGINT) AS n_actual FROM cells GROUP BY actual_lang
+)
+SELECT c.actual_lang, c.guess, c.n,
+       {R("(CAST(c.n AS DOUBLE) / CAST(m.n_actual AS DOUBLE))", 6)} AS share
+FROM cells c JOIN margins m ON c.actual_lang = m.actual_lang
+ORDER BY c.actual_lang, c.guess
+""",
+)
+def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    hits = base.select(
+        F.col("lang").alias("actual_lang"),
+        stopword_hits("toks", STOPWORDS["en"]).alias("hits_en"),
+        stopword_hits("toks", STOPWORDS["fr"]).alias("hits_fr"),
+        stopword_hits("toks", STOPWORDS["de"]).alias("hits_de"),
+        stopword_hits("toks", STOPWORDS["es"]).alias("hits_es"),
+    )
+    guess = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_fr"))
+            & (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_es")),
+            "en",
+        )
+        .when(
+            (F.col("hits_fr") >= F.col("hits_de"))
+            & (F.col("hits_fr") >= F.col("hits_es")),
+            "fr",
+        )
+        .when(F.col("hits_de") >= F.col("hits_es"), "de")
+        .otherwise("es")
+    )
+    cells = (
+        hits.select("actual_lang", guess.alias("guess"))
+        .groupBy("actual_lang", "guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    margins = cells.groupBy("actual_lang").agg(
+        F.sum("n").cast("long").alias("n_actual")
+    )
+    return (
+        cells.join(F.broadcast(margins), "actual_lang")
+        .select(
+            "actual_lang",
+            "guess",
+            "n",
+            pround(F.col("n").cast("double") / F.col("n_actual").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("actual_lang", "guess")
+    )

@@ -347,3 +347,34 @@ def run_foreach_batch_incremental_agg(
         .start()
     )
     q.awaitTermination()
+
+
+def chained_windowed_max(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Two stacked stateful window aggregations in ONE streaming query
+    (Spark 3.4+ chained time-window aggregation): 15-minute tumbling
+    counts per event type, then the hourly max/sum OF those counts via
+    `window(window_time(...))`. Both operators share the watermark, so
+    state for both tiers is bounded — the pattern for multi-resolution
+    rollups without an intermediate sink.
+
+    Run in APPEND mode: the downstream aggregation consumes a window
+    only once its upstream window is finalized by the watermark, so
+    hourly rows whose hour hasn't passed the final watermark are
+    retained in state, not emitted (Spark rejects 'complete' here via
+    the global-watermark correctness check)."""
+    q15 = (
+        _with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n15"))
+    )
+    return (
+        q15.groupBy(F.window(F.window_time("w15"), "1 hour").alias("w1h"), "event_type")
+        .agg(F.max("n15").alias("max_15m_n"), F.sum("n15").alias("n_total"))
+        .select(
+            F.date_format("w1h.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "max_15m_n",
+            "n_total",
+        )
+    )

@@ -417,3 +417,46 @@ def test_incremental_agg_replay_is_noop(spark, sf_small, tmp_path):
     assert incremental_agg_batch(ev, 0, target) is False  # replay: skip
     after = {tuple(r) for r in read_merge_target(spark, target).collect()}
     assert after == before
+
+
+def test_chained_window_aggregation_matches_batch(spark, sf_small):
+    """Stacked stateful aggregations (15-min counts -> hourly max/sum)
+    in one streaming query equal the two-step batch computation."""
+    from statcan_etl_pipeline_spark.streaming.jobs import chained_windowed_max
+
+    stream = _normalized_stream(spark, sf_small)
+    run_available_now(
+        chained_windowed_max(stream, watermark="30 minutes"),
+        "stream_chained",
+        output_mode="append",
+    )
+    got = {tuple(r) for r in spark.table("stream_chained").collect()}
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # append mode emits an hourly row only once the final watermark
+    # (max event time − 30 min) passes the end of its hour
+    wm = ev.agg(
+        (F.max("ts").cast("long") - F.lit(30 * 60)).alias("wm")
+    ).collect()[0]["wm"]
+    b15 = ev.groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type").agg(
+        F.count(F.lit(1)).alias("n15")
+    )
+    want = {
+        tuple(r)
+        for r in b15.groupBy(
+            F.window(F.col("w15.start"), "1 hour").alias("w1h"), "event_type"
+        )
+        .agg(F.max("n15").alias("max_15m_n"), F.sum("n15").alias("n_total"))
+        .filter(F.col("w1h.end").cast("long") <= wm)
+        .select(
+            F.date_format("w1h.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "max_15m_n",
+            "n_total",
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
