@@ -30,6 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # --- round 5: new or changed — must be verified this round ---
     "udtf_token_positions",  # new: Python UDTF lateral join (Spark 4)
+    "weighted_median_price_by_brand",  # new: exact weighted median, bucketed
+    "price_qty_regression_by_type",  # new: grouped closed-form OLS
+    "asof_join_with_tolerance",  # new: merge_asof(tolerance=...) semantics
+    "statcan_interpolate_linear",  # new: rational linear gap fill
+    "top_ngrams_per_lang",  # new: per-group top-k over aggregated ngrams
+    "orders_price_bands",  # new: broadcast range-banding join
     "doc_language_confusion",  # new: langid confusion matrix
     "copurchase_degree_distribution",  # new: power-of-2 degree census
     "events_daily_mad_anomalies",  # new: median/MAD robust anomaly flags

@@ -8,7 +8,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import money_sum, pround, sql_money_sum as MS, sql_round as R
+from ..functions.portable import (
+    cents,
+    money_sum,
+    pround,
+    sql_cents,
+    sql_money_sum as MS,
+    sql_round as R,
+)
 from ..plans.pipeline import run_pipeline
 from ..registry import query
 
@@ -640,3 +647,119 @@ def statcan_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation gap fill — the companion to LOCF for series
+# where a step function misleads (indices, rates). The monthly series
+# is sparsified to quarter-start observations (simulating a
+# lower-frequency reporting vector), densified over a month spine, and
+# interior gaps are filled by exact rational interpolation on integer
+# cents and integer month ordinals:
+#   v = (prev_c·(next_m − m) + next_c·(m − prev_m)) / (gap · 100)
+# — one double division at the end, bit-identical across engines.
+# Spine endpoints are observed by construction, so every gap is
+# interior. Windows partition per vector (calendar-bounded series).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "statcan_interpolate_linear",
+    oracle=f"""
+WITH series AS (
+  SELECT 'v' || CAST(n_nationkey AS VARCHAR) AS vector,
+         time_bucket(INTERVAL 1 MONTH, o_orderdate) AS m,
+         CAST(sum({{SC}}) AS BIGINT) AS vc
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY vector, m
+), sparse AS (
+  SELECT * FROM series WHERE (year(m) * 12 + month(m)) % 3 = 1
+), bounds AS (
+  SELECT vector, min(m) AS lo, max(m) AS hi FROM sparse GROUP BY vector
+), spine AS (
+  SELECT vector, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds
+), joined AS (
+  SELECT spine.vector, spine.m, year(spine.m) * 12 + month(spine.m) AS midx,
+         sparse.vc
+  FROM spine LEFT JOIN sparse ON spine.vector = sparse.vector AND spine.m = sparse.m
+), carried AS (
+  SELECT vector, m, midx, vc,
+    last_value(vc IGNORE NULLS) OVER wp AS prev_c,
+    last_value(CASE WHEN vc IS NOT NULL THEN midx END IGNORE NULLS) OVER wp AS prev_m,
+    first_value(vc IGNORE NULLS) OVER wn AS next_c,
+    first_value(CASE WHEN vc IS NOT NULL THEN midx END IGNORE NULLS) OVER wn AS next_m
+  FROM joined
+  WINDOW
+    wp AS (PARTITION BY vector ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY vector ORDER BY m ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT vector, strftime(m, '%Y-%m') AS ref_month,
+       {R("(CASE WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE) / 100.0 "
+          "ELSE CAST(prev_c * (next_m - midx) + next_c * (midx - prev_m) AS DOUBLE)"
+          " / (CAST(next_m - prev_m AS DOUBLE) * 100.0) END)", 4)} AS value,
+       CASE WHEN vc IS NOT NULL THEN 'actual' ELSE 'interp' END AS method
+FROM carried
+ORDER BY vector, ref_month
+""".replace("{SC}", sql_cents("o_totalprice")),
+)
+def statcan_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    series = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.concat(F.lit("v"), F.col("n_nationkey").cast("string")).alias("vector"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("vc"))
+    )
+    sparse = series.filter((F.year("m") * 12 + F.month("m")) % 3 == 1)
+    spine = (
+        sparse.groupBy("vector")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .select(
+            "vector",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("m"),
+        )
+    )
+    joined = spine.join(sparse, ["vector", "m"], "left").select(
+        "vector", "m", (F.year("m") * 12 + F.month("m")).alias("midx"), "vc"
+    )
+    wp = W.partitionBy("vector").orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("vector").orderBy("m").rowsBetween(0, W.unboundedFollowing)
+    obs_m = F.when(F.col("vc").isNotNull(), F.col("midx"))
+    carried = joined.select(
+        "vector",
+        "m",
+        "midx",
+        "vc",
+        F.last("vc", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_m, ignorenulls=True).over(wp).alias("prev_m"),
+        F.first("vc", ignorenulls=True).over(wn).alias("next_c"),
+        F.first(obs_m, ignorenulls=True).over(wn).alias("next_m"),
+    )
+    interp = (
+        (
+            F.col("prev_c") * (F.col("next_m") - F.col("midx"))
+            + F.col("next_c") * (F.col("midx") - F.col("prev_m"))
+        ).cast("double")
+        / ((F.col("next_m") - F.col("prev_m")).cast("double") * F.lit(100.0))
+    )
+    return carried.select(
+        "vector",
+        F.date_format("m", "yyyy-MM").alias("ref_month"),
+        pround(
+            F.when(
+                F.col("vc").isNotNull(), F.col("vc").cast("double") / F.lit(100.0)
+            ).otherwise(interp),
+            4,
+        ).alias("value"),
+        F.when(F.col("vc").isNotNull(), "actual").otherwise("interp").alias("method"),
+    ).orderBy("vector", "ref_month")

@@ -322,3 +322,72 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a match TOLERANCE (pandas merge_asof(tolerance=...)):
+# the most recent prior view counts only when it is within 15 minutes
+# of the purchase — stale matches are nulled, not dropped (the left
+# row always survives). Same single-shuffle union+carry as the plain
+# backward as-of; the tolerance is one integer-microsecond comparison
+# applied after the carry.
+# ---------------------------------------------------------------------------
+
+_TOL_US = 15 * 60 * 1_000_000
+
+
+@query(
+    "asof_join_with_tolerance",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, 0 AS src, event_id AS view_id, NULL AS purchase_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS src, NULL AS view_id, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT *,
+    last_value(view_id IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, src, view_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view_id,
+    last_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, src, view_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_ts
+  FROM tagged
+)
+SELECT purchase_id AS event_id, user_id,
+       strftime(ts, '{{TSF}}') AS purchase_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(matched_ts) <= {_TOL_US}
+            THEN matched_view_id END AS view_id,
+       CASE WHEN epoch_us(ts) - epoch_us(matched_ts) <= {_TOL_US}
+            THEN strftime(matched_ts, '{{TSF}}') END AS view_ts,
+       (matched_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(matched_ts) > {_TOL_US}) AS stale_dropped
+FROM carried WHERE src = 1
+ORDER BY event_id
+""".replace("{TSF}", TS_FMT_DUCK),
+)
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join_backward(
+        purchases, views, on=["user_id"], right_prefix="matched_"
+    )
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("matched_ts").cast("timestamp")
+    )
+    in_tol = gap <= F.lit(_TOL_US)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.when(in_tol, F.col("matched_view_id")).alias("view_id"),
+        F.when(in_tol, F.date_format("matched_ts", TS_FMT_SPARK)).alias("view_ts"),
+        (F.col("matched_ts").isNotNull() & ~in_tol.eqNullSafe(F.lit(True)))
+        .alias("stale_dropped"),
+    ).orderBy("event_id")

@@ -9,7 +9,7 @@ sigmoid-ish squash is x/(1+|x|).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, scatter
@@ -1211,4 +1211,49 @@ def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("actual_lang", "guess")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-10 word trigrams per language — the per-group top-k at corpus
+# scale: one map-combinable (lang, ngram) count shuffle, then the rank
+# window runs over the AGGREGATED ngram table partitioned by lang —
+# never over raw token streams. Ties break lexicographically so the
+# cut is deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_ngrams_per_lang",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+grams AS (
+  SELECT lang, unnest({sql_word_shingles("toks", 3)}) AS ngram FROM base
+), counts AS (
+  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n
+  FROM grams GROUP BY lang, ngram
+), ranked AS (
+  SELECT lang, ngram, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS BIGINT)
+           AS rk
+  FROM counts
+)
+SELECT lang, rk, ngram, n FROM ranked WHERE rk <= 10
+ORDER BY lang, rk
+""",
+)
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    counts = (
+        base.select("lang", F.explode(word_shingles("toks", 3)).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        counts.select(
+            "lang", F.row_number().over(w).cast("long").alias("rk"), "ngram", "n"
+        )
+        .filter(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
     )

@@ -49,6 +49,7 @@ def _load_all() -> None:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         approx,
         curation,
         dedup,

@@ -378,3 +378,22 @@ def chained_windowed_max(stream: DataFrame, watermark: str = "2 hours") -> DataF
             "n_total",
         )
     )
+
+
+def read_merge_target_at(spark, target_path: str, version: str) -> DataFrame:
+    """TIME TRAVEL: read a specific committed version of a versioned
+    MERGE target (versions survive until _gc_versions prunes them)."""
+    if version not in _committed_versions(spark, target_path):
+        raise FileNotFoundError(f"version {version!r} not committed under {target_path}")
+    return spark.read.parquet(f"{target_path}/{version}")
+
+
+def table_history(spark, target_path: str) -> DataFrame:
+    """Table-format-style history listing for a versioned MERGE target:
+    one row per committed version with its row count — the audit
+    surface (what did the table look like after batch N?)."""
+    rows = [
+        (v, int(v[1:]), spark.read.parquet(f"{target_path}/{v}").count())
+        for v in _committed_versions(spark, target_path)
+    ]
+    return spark.createDataFrame(rows, "version string, batch_id long, n_rows long")

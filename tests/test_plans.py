@@ -373,3 +373,15 @@ def test_udtf_lateral_join_is_python_udtf_node(spark, sf_small):
     node (Arrow-batched when available), not a collect-and-reexplode."""
     plan = _plan(spark, "udtf_token_positions", sf_small)
     assert "UDTF" in plan, plan
+
+
+def test_weighted_median_windows_partition_by_brand_bucket(spark, sf_small):
+    """The per-row cumulative-weight window must partition by
+    (brand, price bucket); the only brand-level windows run over the
+    ≤256-row bucket summary."""
+    plan = _plan(spark, "weighted_median_price_by_brand", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "p_partkey" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "bucket" in ln.split("windowspecdefinition", 1)[1][:60], ln

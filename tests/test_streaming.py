@@ -460,3 +460,91 @@ def test_chained_window_aggregation_matches_batch(spark, sf_small):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_time_travel_and_table_history(spark, tmp_path):
+    """Versioned MERGE targets support table-format-style time travel:
+    every committed version stays readable until GC, and table_history
+    lists (version, batch_id, row count) in commit order."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        merge_batch,
+        read_merge_target_at,
+        table_history,
+    )
+
+    target = str(tmp_path / "tt")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id int, event_id int, v string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 12, "c")], "user_id int, event_id int, v string"
+    )
+    merge_batch(b0, 0, target, keys=["user_id"], order_col="event_id")
+    merge_batch(b1, 1, target, keys=["user_id"], order_col="event_id")
+
+    v0 = read_merge_target_at(spark, target, "v0000000000")
+    assert sorted((r["user_id"], r["v"]) for r in v0.collect()) == [(1, "a"), (2, "b")]
+    v1 = read_merge_target_at(spark, target, "v0000000001")
+    assert sorted((r["user_id"], r["v"]) for r in v1.collect()) == [
+        (1, "a2"), (2, "b"), (3, "c"),
+    ]
+    hist = sorted(tuple(r) for r in table_history(spark, target).collect())
+    assert hist == [("v0000000000", 0, 2), ("v0000000001", 1, 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_merge_target_at(spark, target, "v0000000009")
+
+
+def test_foreach_batch_fanout_two_sinks_consistent(spark, sf_small, tmp_path):
+    """foreachBatch fan-out: one micro-batch written to TWO sinks (raw
+    append + running aggregate) from a single persisted batch frame —
+    both sinks see the same rows (the classic multi-sink pattern that
+    writeStream alone can't express)."""
+    raw_dir = str(tmp_path / "raw")
+    agg_dir = str(tmp_path / "agg")
+    stream = _normalized_stream(spark, sf_small)
+
+    def fanout(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(raw_dir)
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(agg_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(fanout)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    raw = spark.read.parquet(raw_dir)
+    agg = spark.read.parquet(agg_dir)
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_from_raw = {
+        tuple(r)
+        for r in raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_from_agg = {
+        tuple(r)
+        for r in agg.groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    }
+    assert got_from_raw == want
+    assert got_from_agg == want
