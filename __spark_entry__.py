@@ -29,6 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
     # --- round 5: new or changed — must be verified this round ---
+    "sessionize_events",  # crashed in r4 (TIMESTAMP_NTZ); fix must be proven
+    "asof_join_purchase_to_view",  # same NTZ cast path touched
     "udtf_token_positions",  # new: Python UDTF lateral join (Spark 4)
     "weighted_median_price_by_brand",  # new: exact weighted median, bucketed
     "price_qty_regression_by_type",  # new: grouped closed-form OLS
@@ -36,6 +38,9 @@ _CHECK_FIRST = [
     "statcan_interpolate_linear",  # new: rational linear gap fill
     "top_ngrams_per_lang",  # new: per-group top-k over aggregated ngrams
     "orders_price_bands",  # new: broadcast range-banding join
+    "group_by_all_revenue",  # new: GROUP BY ALL / ORDER BY ALL surface
+    "events_cumulative_unique_users",  # new: running distinct rewrite
+    "session_duration_histogram",  # new: sessionize -> histogram composite
     "doc_language_confusion",  # new: langid confusion matrix
     "copurchase_degree_distribution",  # new: power-of-2 degree census
     "events_daily_mad_anomalies",  # new: median/MAD robust anomaly flags
@@ -74,8 +79,9 @@ _CHECK_FIRST = [
     "dedup_connected_groups",  # gained a recursive-CTE oracle this round
     "abc_part_classification",  # cumsum de-globalized (sharded prefix sum)
     "doc_greedy_packing_sharded",  # implemented after r4's window; never verified
-    "sessionize_events",  # crashed in r4 (TIMESTAMP_NTZ); fix must be proven
-    "asof_join_purchase_to_view",  # same NTZ cast path touched
+    # --- new but pytest-parity-covered; below the 50-query window ---
+    "parameterized_sql_topn",  # new: named-parameter SQL binding
+    "lateral_alias_margin",  # new: lateral column alias chain
     # --- rows-only by design (driver records weaker rows check) ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",

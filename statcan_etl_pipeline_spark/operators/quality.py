@@ -99,3 +99,26 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+def observed_metrics(df: DataFrame, name: str = "dq"):  # -> (DataFrame, Observation)
+    """Attach Spark's `observe()` instrumentation: row count, null
+    counts for every column, and min/max for numeric columns are
+    collected AS the job runs — zero extra passes over the data (the
+    separate-aggregate DQ checks each cost a scan; this piggybacks on
+    whatever action the caller already executes). Read the metrics from
+    the returned Observation after an action completes."""
+    from pyspark.sql import Observation
+
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for f in df.schema.fields:
+        exprs.append(
+            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(
+                f"nulls__{f.name}"
+            )
+        )
+        if f.dataType.typeName() in {"long", "integer", "double", "float", "short"}:
+            exprs.append(F.min(f.name).alias(f"min__{f.name}"))
+            exprs.append(F.max(f.name).alias(f"max__{f.name}"))
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import sql_money_sum
+from ..functions.portable import sql_cents, sql_money_sum, sql_round
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -137,3 +137,94 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4): every non-aggregate
+# SELECT item becomes a grouping key — kills the classic drift bug
+# where a new projected column silently changes grouping. DuckDB
+# speaks the same dialect, so the oracle IS the same modern SQL.
+# ---------------------------------------------------------------------------
+
+_GBA_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("group_by_all_revenue", oracle=_GBA_SQL)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (Spark 3.4+/4): named parameters bind server-side
+# (`:min_total`), so values never get string-interpolated into the
+# query — the injection-safe surface a pipeline templater should use.
+# The oracle is the same query with the literals inlined.
+# ---------------------------------------------------------------------------
+
+_PARAM_MIN_TOTAL = 250_000.0
+_PARAM_TOP_N = 50
+
+
+@query(
+    "parameterized_sql_topn",
+    oracle=f"""
+SELECT o_orderkey, o_orderpriority,
+       {sql_round("o_totalprice", 2)} AS total
+FROM orders
+WHERE o_totalprice >= {_PARAM_MIN_TOTAL!r}
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {_PARAM_TOP_N}
+""",
+)
+def parameterized_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderpriority,
+               {sql_round("o_totalprice", 2)} AS total
+        FROM orders
+        WHERE o_totalprice >= :min_total
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT :top_n
+        """,
+        args={"min_total": _PARAM_MIN_TOTAL, "top_n": _PARAM_TOP_N},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral column aliases (Spark 3.4+/4): later SELECT items reference
+# earlier aliases in the SAME select list — derived-metric chains
+# without nested subqueries. DuckDB resolves the same way, so both
+# engines run the identical chain.
+# ---------------------------------------------------------------------------
+
+_LCA_SQL = f"""
+SELECT l_returnflag,
+       CAST(sum({{RC}}) AS BIGINT) AS rev_c,
+       CAST(sum({{CC}}) AS BIGINT) AS cost_c,
+       rev_c - cost_c AS margin_c,
+       {sql_round("(CAST(margin_c AS DOUBLE) / CAST(rev_c AS DOUBLE))", 6)} AS margin_ratio
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+_LCA_FILLED = _LCA_SQL.replace(
+    "{RC}", sql_cents("l_extendedprice * (1 - l_discount)")
+).replace("{CC}", sql_cents("l_extendedprice * (1 - l_discount) * (1 - l_tax)"))
+
+
+@query("lateral_alias_margin", oracle=_LCA_FILLED)
+def lateral_alias_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LCA_FILLED)

@@ -391,3 +391,121 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("matched_ts").isNotNull() & ~in_tol.eqNullSafe(F.lit(True)))
         .alias("stale_dropped"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Running DISTINCT users per day — the op naive SQL can't scale
+# (cumulative COUNT(DISTINCT) re-scans history). Rewrite: each user
+# contributes only at their FIRST day (one per-user min), the per-day
+# first-appearance counts aggregate map-side, and the running sum runs
+# over the calendar-bounded daily series. O(users) + O(days) instead
+# of O(days × history).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts) / 86400.0)) AS BIGINT) AS day_num
+  FROM events GROUP BY user_id
+), new_per_day AS (
+  SELECT day_num, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_day GROUP BY day_num
+), all_days AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day_num FROM events
+)
+SELECT d.day_num,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day_num
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM all_days d LEFT JOIN new_per_day n ON d.day_num = n.day_num
+ORDER BY d.day_num
+""",
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).cast("long")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("day_num"))
+    new_per_day = first_day.groupBy("day_num").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    all_days = ev.select(day.alias("day_num")).distinct()
+    wcum = W.orderBy("day_num").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the running sum is over the POST-AGGREGATE daily series
+    # (calendar-bounded) — same precedent as orders_open_intervals_daily
+    return (
+        all_days.join(new_per_day, "day_num", "left")
+        .select("day_num", F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"))
+        .select(
+            "day_num",
+            "n_new",
+            F.sum("n_new").over(wcum).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-duration histogram — the composite: gap sessionization feeds
+# a fixed-width (5-minute) duration histogram. Durations are exact
+# integer microseconds from the per-session min/max, so bucket edges
+# are integer divisions; single-event sessions land in bucket 0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_duration_histogram",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), spans AS (
+  SELECT user_id, session_id,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT CAST(floor(dur_us / 300000000.0) AS BIGINT) AS bucket_5min,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(min(dur_us) AS BIGINT) AS min_dur_us,
+       CAST(max(dur_us) AS BIGINT) AS max_dur_us
+FROM spans
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak=["event_id"])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = sess.groupBy("user_id", "session_id").agg(
+        (F.max(us) - F.min(us)).alias("dur_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        spans.groupBy(
+            F.floor(F.col("dur_us") / F.lit(300000000.0)).cast("long").alias("bucket_5min")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("dur_us").cast("long").alias("min_dur_us"),
+            F.max("dur_us").cast("long").alias("max_dur_us"),
+        )
+        .orderBy("bucket_5min")
+    )

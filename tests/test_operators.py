@@ -473,3 +473,66 @@ def test_binary_file_ingest_to_payload_contract(spark, tmp_path):
     )
     got = {r["n_bytes"] for r in feat.collect()}
     assert got == {12, 9}
+
+
+def test_observe_metrics_piggyback_on_action(spark, sf_small):
+    """observe() collects row/null/min/max metrics during the caller's
+    own action — no second scan — and they match explicit aggregates."""
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.operators.quality import observed_metrics
+
+    nat = load_table(spark, sf_small, "nation")
+    instrumented, obs = observed_metrics(nat, "natdq")
+    instrumented.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == nat.count()
+    assert got["nulls__n_name"] == 0
+    assert got["min__n_nationkey"] == 0
+    assert got["max__n_nationkey"] == nat.agg(F.max("n_nationkey")).collect()[0][0]
+
+
+def test_text_source_regex_log_parse(spark, tmp_path):
+    """text source + regexp_extract: the log-file ingest shape — raw
+    lines become typed columns, malformed lines quarantine as NULLs."""
+    p = tmp_path / "logs"
+    p.mkdir()
+    (p / "a.log").write_text(
+        "2026-08-14 01:02:03 INFO job=etl rows=120\n"
+        "2026-08-14 01:02:04 WARN job=etl rows=7\n"
+        "garbage line without structure\n"
+    )
+    raw = spark.read.text(str(p))
+    pat = r"^(\S+ \S+) (\w+) job=(\w+) rows=(\d+)$"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).alias("ts_raw"),
+        F.regexp_extract("value", pat, 2).alias("level"),
+        F.regexp_extract("value", pat, 3).alias("job"),
+        F.nullif(F.regexp_extract("value", pat, 4), F.lit("")).cast("long").alias("rows"),
+    )
+    good = parsed.filter(F.col("rows").isNotNull())
+    bad = parsed.filter(F.col("rows").isNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert {r["level"] for r in good.collect()} == {"INFO", "WARN"}
+    assert good.agg(F.sum("rows")).collect()[0][0] == 127
+
+
+def test_scalar_pandas_udf_matches_jvm_expression(spark, sf_small):
+    """Arrow-batched scalar pandas_udf surface: vectorized Python equals
+    the JVM expression bit-for-bit on the same frame (the escape hatch
+    for logic F.* can't express — NOT used in any hot query path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: this module uses postponed annotation evaluation
+    # (PEP 563), which stringifies hints and breaks pandas_udf inference
+    @pandas_udf("double")
+    def squash(v):
+        return v / (1.0 + v.abs())
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, sf_small, "orders").limit(500)
+    got = orders.select(squash("o_totalprice").alias("s")).collect()
+    want = orders.select(
+        (F.col("o_totalprice") / (F.lit(1.0) + F.abs("o_totalprice"))).alias("s")
+    ).collect()
+    assert [r["s"] for r in got] == [r["s"] for r in want]
