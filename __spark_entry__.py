@@ -82,6 +82,9 @@ _CHECK_FIRST = [
     # --- new but pytest-parity-covered; below the 50-query window ---
     "parameterized_sql_topn",  # new: named-parameter SQL binding
     "lateral_alias_margin",  # new: lateral column alias chain
+    "hard_negative_mining",  # new: contrastive near-miss negatives
+    "tokenizer_fertility_by_lang",  # new: tokens-per-char census
+    "embedding_label_outliers",  # new: centroid-distance label-noise QA
     # --- rows-only by design (driver records weaker rows check) ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",

@@ -308,3 +308,92 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection — the training-data QA op: distance from each
+# vector to its OWN label's centroid; far vectors are mislabel/outlier
+# candidates. The centroid is the portably-ROUNDED per-dimension mean
+# (exact micro-unit integer sums, one division, 6-dp round — identical
+# doubles in both engines), and distances are int64 fixed-point, so
+# the τ² = 0.5 outlier test is an exact integer comparison. Centroids
+# are k·dim values — broadcast; one wide shuffle (component sums).
+# ---------------------------------------------------------------------------
+
+_OUT_TAU2_NANO = 500_000_000  # 0.5 in 1e-9 fixed point
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+WITH comp AS (
+  SELECT CAST(label AS BIGINT) AS label, i AS pos,
+         {R("(CAST(sum(" + _COMP_MICRO_SQL + ") AS DOUBLE) / 1000000.0"
+            " / CAST(count(*) AS DOUBLE))", 6)} AS cmean
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), cents AS (
+  SELECT label, list(cmean ORDER BY pos) AS centroid FROM comp GROUP BY label
+), dists AS (
+  SELECT e.vec_id, c.label,
+         {{D2}} AS dist2_nano
+  FROM embeddings e JOIN cents c ON CAST(e.label AS BIGINT) = c.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dist2_nano > {_OUT_TAU2_NANO} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(max(dist2_nano) AS BIGINT) AS max_dist2_nano
+FROM dists
+GROUP BY label
+ORDER BY label
+""".replace("{D2}", sql_sqdist_fixed("e.embedding", "c.centroid", n=64)),
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.when(
+            F.col("v") >= 0,
+            F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)),
+        )
+        .otherwise(-F.floor(-F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("micro"),
+    )
+    means = comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("micro").alias("s"),
+    ).select(
+        "label",
+        "pos",
+        pround(
+            F.col("s").cast("double") / F.lit(1e6) / F.col("n").cast("double"), 6
+        ).alias("cmean"),
+    )
+    cents = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
+            lambda s: s.cmean,
+        ).alias("centroid")
+    )
+    dists = emb.select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    ).join(F.broadcast(cents), "label").select(
+        "label", sqdist_fixed("embedding", "centroid").alias("dist2_nano")
+    )
+    return (
+        dists.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("dist2_nano") > _OUT_TAU2_NANO, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("dist2_nano").cast("long").alias("max_dist2_nano"),
+        )
+        .orderBy("label")
+    )

@@ -670,3 +670,63 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine")
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op: for each
+# query vector, the top-3 MOST similar vectors with a DIFFERENT label
+# (near-misses make the best negatives; random negatives are too easy).
+# Same broadcast-query + fixed-point-cosine shape as the brute-force
+# kNN baseline, with the label inequality fused into the join; the
+# LSH/IVF families are the drop-in scale path for the candidate set.
+# ---------------------------------------------------------------------------
+
+N_HN_QUERIES = 8
+HN_TOP_K = 3
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         {R(sql_cosine("q.embedding", "c.embedding"), 6)} AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id < {{NQ}}
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, query_label, negative_id, negative_label, rank, cosine
+FROM ranked WHERE rank <= {{K}}
+ORDER BY query_id, rank
+""".replace("{NQ}", str(N_HN_QUERIES)).replace("{K}", str(HN_TOP_K)),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("emb_q"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("emb_c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("negative_id") != F.col("query_id"))
+            & (F.col("negative_label") != F.col("query_label")),
+        )
+        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HN_TOP_K)
+        .select("query_id", "query_label", "negative_id", "negative_label", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )

@@ -1257,3 +1257,48 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — tokens-per-100-chars and
+# chars-per-token: the first number checked when a tokenizer meets a
+# new language mix (high fertility = expensive languages dominate the
+# token budget). Exact integer sums per language; one map-combinable
+# shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL})
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(toks)) AS BIGINT) AS n_toks,
+       {R("(100.0 * CAST(sum(len(toks)) AS DOUBLE) / CAST(sum(length(text)) AS DOUBLE))", 4)}
+         AS toks_per_100_chars,
+       {R("(CAST(sum(length(text)) AS DOUBLE) / CAST(sum(len(toks)) AS DOUBLE))", 4)}
+         AS chars_per_tok
+FROM base
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir)
+    nc = F.sum(F.length("text")).cast("long")
+    nt = F.sum(F.size("toks")).cast("long")
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            nc.alias("n_chars"),
+            nt.alias("n_toks"),
+            pround(F.lit(100.0) * nt.cast("double") / nc.cast("double"), 4).alias(
+                "toks_per_100_chars"
+            ),
+            pround(nc.cast("double") / nt.cast("double"), 4).alias("chars_per_tok"),
+        )
+        .orderBy("lang")
+    )
