@@ -85,6 +85,9 @@ _CHECK_FIRST = [
     "hard_negative_mining",  # new: contrastive near-miss negatives
     "tokenizer_fertility_by_lang",  # new: tokens-per-char census
     "embedding_label_outliers",  # new: centroid-distance label-noise QA
+    "statcan_chain_linked_index",  # new: chain-linked index splice
+    "orders_sla_fulfillment",  # new: 30/60/90-day SLA bands
+    "doc_length_powerlaw_by_source",  # new: power-of-2 length census
     # --- rows-only by design (driver records weaker rows check) ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",

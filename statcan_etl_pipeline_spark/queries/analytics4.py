@@ -254,3 +254,55 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment SLA bands: lineitems shipped within 30 / 60 / 90 days of
+# the order, per order priority — integer day arithmetic, exact band
+# counts, shares rounded once. One fact-side join (orderdate attach)
+# and one map-combinable aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_sla_fulfillment",
+    oracle=f"""
+WITH lag AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(epoch(l.l_shipdate) / 86400.0)
+              - floor(epoch(o.o_orderdate) / 86400.0) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS within_30,
+       CAST(sum(CASE WHEN days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS within_60,
+       CAST(sum(CASE WHEN days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS within_90,
+       {R("(CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))", 6)}
+         AS sla30_rate
+FROM lag
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_sla_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    day = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(86400.0)).cast("long")
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", (day("l_shipdate") - day("o_orderdate")).alias("days")
+    )
+    in30 = F.sum(F.when(F.col("days") <= 30, 1).otherwise(0)).cast("long")
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            in30.alias("within_30"),
+            F.sum(F.when(F.col("days") <= 60, 1).otherwise(0)).cast("long").alias("within_60"),
+            F.sum(F.when(F.col("days") <= 90, 1).otherwise(0)).cast("long").alias("within_90"),
+            pround(in30.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "sla30_rate"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -763,3 +763,118 @@ def statcan_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.when(F.col("vc").isNotNull(), "actual").otherwise("interp").alias("method"),
     ).orderBy("vector", "ref_month")
+
+
+# ---------------------------------------------------------------------------
+# Chain linking — the StatCan index operation proper: an old-basket
+# series (gross revenue) and a new-basket series (discounted revenue)
+# overlap in 1995-01; the new segment is multiplied by the link factor
+# (old/new at the overlap month) and both are expressed relative to
+# the old basket's first month = 100. Everything is exact integer
+# cents until the final (linked-level / base) division per row, and
+# the factor algebra is kept in integer numerator/denominator form —
+# one double division per output row, identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "statcan_chain_linked_index",
+    oracle=f"""
+WITH old_series AS (
+  SELECT time_bucket(INTERVAL 1 MONTH, o_orderdate) AS m,
+         CAST(sum({{GC}}) AS BIGINT) AS vc
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-02-01'
+  GROUP BY m
+), new_series AS (
+  SELECT time_bucket(INTERVAL 1 MONTH, l_shipdate) AS m,
+         CAST(sum({{DC}}) AS BIGINT) AS vc
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  GROUP BY m
+), consts AS (
+  SELECT (SELECT vc FROM old_series ORDER BY m LIMIT 1) AS base_c,
+         (SELECT vc FROM old_series WHERE m = TIMESTAMP '1995-01-01') AS link_old_c,
+         (SELECT vc FROM new_series WHERE m = TIMESTAMP '1995-01-01') AS link_new_c
+), chained AS (
+  SELECT m, 'old' AS segment,
+         {R("(100.0 * CAST(vc AS DOUBLE) / CAST((SELECT base_c FROM consts) AS DOUBLE))", 4)} AS index_val
+  FROM old_series WHERE m < TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m, 'new' AS segment,
+         {R("(100.0 * (CAST(vc AS DOUBLE) * CAST((SELECT link_old_c FROM consts) AS DOUBLE))"
+            " / (CAST((SELECT link_new_c FROM consts) AS DOUBLE)"
+            " * CAST((SELECT base_c FROM consts) AS DOUBLE)))", 4)} AS index_val
+  FROM new_series
+)
+SELECT strftime(m, '%Y-%m') AS ref_month, segment, index_val
+FROM chained
+ORDER BY ref_month
+""".replace("{GC}", sql_cents("o_totalprice")).replace(
+        "{DC}", sql_cents("l_extendedprice * (1 - l_discount)")
+    ),
+)
+def statcan_chain_linked_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    old_series = (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("vc"))
+    )
+    new_series = (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("vc")
+        )
+    )
+    link_m = F.lit("1995-01-01").cast("timestamp")
+    consts = (
+        old_series.orderBy("m")
+        .limit(1)
+        .select(F.col("vc").alias("base_c"))
+        .crossJoin(
+            F.broadcast(
+                old_series.filter(F.col("m") == link_m).select(
+                    F.col("vc").alias("link_old_c")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                new_series.filter(F.col("m") == link_m).select(
+                    F.col("vc").alias("link_new_c")
+                )
+            )
+        )
+    )
+    base_d = F.col("base_c").cast("double")
+    old_part = (
+        old_series.filter(F.col("m") < link_m)
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "m",
+            F.lit("old").alias("segment"),
+            pround(F.lit(100.0) * F.col("vc").cast("double") / base_d, 4).alias(
+                "index_val"
+            ),
+        )
+    )
+    new_part = new_series.crossJoin(F.broadcast(consts)).select(
+        "m",
+        F.lit("new").alias("segment"),
+        pround(
+            F.lit(100.0)
+            * (F.col("vc").cast("double") * F.col("link_old_c").cast("double"))
+            / (F.col("link_new_c").cast("double") * base_d),
+            4,
+        ).alias("index_val"),
+    )
+    return (
+        old_part.unionByName(new_part)
+        .select(
+            F.date_format("m", "yyyy-MM").alias("ref_month"), "segment", "index_val"
+        )
+        .orderBy("ref_month")
+    )

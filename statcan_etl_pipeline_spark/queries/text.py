@@ -1302,3 +1302,40 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-length power-law census per source: power-of-2 length bins
+# (bit length of n_chars — integer-exact, no log2) — the shape check
+# that catches truncated scrapes (missing tail) and boilerplate floods
+# (spiked head) before training data ships.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_length_powerlaw_by_source",
+    oracle=f"""
+SELECT source,
+       CAST(length(bin(n_chars)) AS BIGINT) AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY source, len_bin
+ORDER BY source, len_bin
+""",
+)
+def doc_length_powerlaw_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        docs.groupBy(
+            "source", F.length(F.bin("n_chars")).cast("long").alias("len_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source", "len_bin")
+    )
