@@ -28,70 +28,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- round 5: new or changed — must be verified this round ---
-    "sessionize_events",  # crashed in r4 (TIMESTAMP_NTZ); fix must be proven
-    "asof_join_purchase_to_view",  # same NTZ cast path touched
-    "udtf_token_positions",  # new: Python UDTF lateral join (Spark 4)
-    "weighted_median_price_by_brand",  # new: exact weighted median, bucketed
-    "price_qty_regression_by_type",  # new: grouped closed-form OLS
-    "asof_join_with_tolerance",  # new: merge_asof(tolerance=...) semantics
-    "statcan_interpolate_linear",  # new: rational linear gap fill
-    "top_ngrams_per_lang",  # new: per-group top-k over aggregated ngrams
-    "orders_price_bands",  # new: broadcast range-banding join
-    "group_by_all_revenue",  # new: GROUP BY ALL / ORDER BY ALL surface
-    "events_cumulative_unique_users",  # new: running distinct rewrite
-    "session_duration_histogram",  # new: sessionize -> histogram composite
-    "doc_language_confusion",  # new: langid confusion matrix
-    "copurchase_degree_distribution",  # new: power-of-2 degree census
-    "events_daily_mad_anomalies",  # new: median/MAD robust anomaly flags
-    "funnel_time_to_convert",  # new: per-cohort conversion-gap percentiles
-    "customer_ltv_cohort",  # new: LTV cohort triangle
-    "supplier_share_of_nation",  # new: top-5 revenue share + rank per nation
-    "chi2_segment_priority",  # new: χ² independence audit, per-cell
-    "supplier_hhi_by_nation",  # new: Herfindahl concentration index
-    "pareto_frontier_parts",  # new: distributed skyline, bucketed prefix max
-    "part_copurchase_triangles",  # new: degree-ordered triangle census
-    "orders_open_intervals_daily",  # new: sweep-line interval concurrency
-    "doc_simpson_diversity",  # new: rational token-diversity score
-    "events_strict_funnel_pattern",  # new: strict-sequence pattern match
-    "doc_unigram_rarity",  # new: rational unigram-LM rarity score
-    "doc_global_shuffle",  # new: deterministic epoch shuffle, 2-pass prefix sum
-    "corpus_length_trim",  # new: per-source p05/p95 winsorise census
-    "pii_scan_tables",  # new: PII regex scan over text-bearing columns
-    "benford_order_totals",  # new: first-digit forensic audit
-    "gini_customer_revenue",  # new: concentration via sharded prefix sum
-    "events_moving_corr_7d",  # new: trailing 7-day rolling correlation
-    "events_variant_stats",  # new: Spark-4 VARIANT ingestion of props
-    "pipe_syntax_priority_summary",  # new: SQL pipe syntax surface
-    "dedup_embedding_groups",  # new: LSH pairs -> components -> keep/drop
-    "corpus_mixture_resample",  # new: deterministic language-mixture sampler
-    "boilerplate_ngram_ratio",  # new: cross-doc repeated-ngram share
-    "embedding_kmeans",  # new: 3 unrolled Lloyd iterations, full oracle
-    "graph_pagerank",  # new: broadcast-Pregel PageRank, unrolled oracle
-    "statcan_seasonal_decompose",  # new: additive trend/seasonal/residual
-    "events_daily_trend",  # new: OLS slope from exact moment sums
-    "corpus_source_report",  # new: per-source curation dashboard
-    "doc_train_val_split",  # new: deterministic hash split census
-    "events_user_transitions",  # new: Markov transition matrix
-    "events_interarrival_stats",  # new: per-type gap stats
-    "embedding_centroids_by_label",  # new: dimension-parallel class means
-    "ann_range_search",  # new: cosine radius retrieval
-    "dedup_connected_groups",  # gained a recursive-CTE oracle this round
-    "abc_part_classification",  # cumsum de-globalized (sharded prefix sum)
-    "doc_greedy_packing_sharded",  # implemented after r4's window; never verified
-    # --- new but pytest-parity-covered; below the 50-query window ---
-    "parameterized_sql_topn",  # new: named-parameter SQL binding
-    "lateral_alias_margin",  # new: lateral column alias chain
-    "hard_negative_mining",  # new: contrastive near-miss negatives
-    "tokenizer_fertility_by_lang",  # new: tokens-per-char census
-    "embedding_label_outliers",  # new: centroid-distance label-noise QA
-    "statcan_chain_linked_index",  # new: chain-linked index splice
-    "orders_sla_fulfillment",  # new: 30/60/90-day SLA bands
-    "doc_length_powerlaw_by_source",  # new: power-of-2 length census
+    # --- round 6 top priority: never inside a driver 50-query window ---
+    # (judge-verified green at sf0.01 in round 5; make the official record
+    #  say so — brings cumulative driver coverage to 163/163)
+    "parameterized_sql_topn",  # named-parameter SQL binding
+    "lateral_alias_margin",  # lateral column alias chain
+    "hard_negative_mining",  # contrastive near-miss negatives
+    "tokenizer_fertility_by_lang",  # tokens-per-char census
+    "embedding_label_outliers",  # centroid-distance label-noise QA
+    "statcan_chain_linked_index",  # chain-linked index splice
+    "orders_sla_fulfillment",  # 30/60/90-day SLA bands
+    "doc_length_powerlaw_by_source",  # power-of-2 length census
+    # --- round 6: new or touched this round — must be verified ---
+    "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
+    "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
+    "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
+    "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
+    "text_quality_score",  # trailing global orderBy dropped
+    "text_stats",  # trailing global orderBy dropped
+    "text_fingerprint",  # trailing global orderBy dropped
+    "boilerplate_ngram_ratio",  # trailing global orderBy dropped
+    "part_copurchase_triangles",  # wedge sum switched to exact even-int halves
+    "price_qty_regression_by_type",  # zero-denominator OLS guard added
     # --- rows-only by design (driver records weaker rows check) ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
-    # --- re-verify slice: oldest green (r1) first, then r2 (rotating) ---
+    # --- re-verify slice: rotating oldest-green (r1/r2) backfill ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "multimodal_binary_meta",
+    "multimodal_kind_catalog",
     "pipeline_declarative_demo",
     "statcan_vector_timeseries",
     "statcan_latest_revision",
@@ -101,11 +68,6 @@ _CHECK_FIRST = [
     "statcan_rebase_index",
     "statcan_locf_gapfill",
     "dq_validation_report",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "multimodal_binary_meta",
     "q21_waiting_suppliers",
     "q11_important_stock",
     "corr_price_quantity",
@@ -134,11 +96,14 @@ _CHECK_FIRST = [
     "events_hourly_anomalies",
     "basket_part_affinity",
     "events_dau_wau",
-    "text_stats",
-    "text_quality_score",
     "text_langid",
-    "text_fingerprint",
     "text_token_counts",
+    "text_repetition_ratio",
+    "corpus_top_words",
+    "corpus_quality_filter",
+    "corpus_vocab_stats",
+    "embedding_norm_stats",
+    "knn_bruteforce_cosine",
 ]
 
 

@@ -74,14 +74,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scatter(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition a SMALL input to session parallelism
+    """Round-robin repartition a NARROW input to session parallelism
     before compute-heavy derivation (shingling, md5, vector math).
-    The shuffle moves kilobytes; the derived work then runs wide. Only
-    worth it when the downstream per-row cost dwarfs a row copy —
-    measured 5.7× on minhash over single-row-group documents. (Do NOT
-    blanket-apply to fact-table scans: the row copy + pre-repartition
-    sort loses — see git history.)"""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    The shuffle moves kilobytes; the derived work then runs wide —
+    measured 5.7× on minhash over single-row-group documents.
+
+    Gated on input width: if the scan already yields at least
+    `defaultParallelism` splits (the normal case for a 100-TB corpus
+    arriving in thousands of parquet files), the repartition would be
+    an unconditional full shuffle of the largest table before any work,
+    so it is skipped and the df is returned untouched. Only the
+    single-file / few-row-group small-SF shape (splits < parallelism)
+    pays for the spread. (Do NOT blanket-apply to fact-table scans:
+    the row copy + pre-repartition sort loses — see git history.)"""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(

@@ -113,12 +113,37 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+DF_CAP = 1000
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float, df_cap: int = DF_CAP
+) -> DataFrame:
     """(doc_a, doc_b, common, jaccard) for pairs sharing ≥1 shingle with
-    Jaccard ≥ threshold, via the shingle inverted index."""
+    Jaccard ≥ threshold, via the shingle inverted index.
+
+    HOT-SHINGLE CAP: the self-join emits C(df, 2) pairs per shingle, so
+    one stop-phrase shingle shared by 10⁶ docs would generate ~5·10¹¹
+    pairs — a scale-killer no small-SF test ever sees. Shingles with
+    document frequency > df_cap carry ~no Jaccard information (they are
+    corpus boilerplate) and are dropped from PAIR GENERATION and the
+    intersection count; per-doc totals n_sh stay uncapped, so the
+    reported jaccard is a conservative lower bound for pairs that
+    shared a dropped shingle. Per-shingle fan-out is thus bounded by
+    C(df_cap, 2). Corpora where near-dup pairs share ONLY ultra-common
+    shingles should use the MinHash+LSH path, which has no such cap.
+    The oracle SQL mirrors the cap exactly, so parity is unaffected
+    (max df at sf0.1 is 25 — far under the cap)."""
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    rare = (
+        shingled.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("sh")
+    )
+    indexed = shingled.join(rare, "sh")
+    a = indexed.alias("a")
+    b = indexed.alias("b")
     common = (
         a.join(
             b,

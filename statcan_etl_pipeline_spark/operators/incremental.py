@@ -24,10 +24,15 @@ def upsert(
     """Latest-wins merge: rows from `updates` replace same-key rows in
     `base`; unmatched update rows are inserts. One shuffle on the key.
     If `order_col` is given it breaks ties among multiple updates for
-    the same key (highest wins)."""
+    the same key (highest wins).
+
+    Schema evolution: columns present on only one side are allowed
+    (allowMissingColumns) — the other side fills NULL, mirroring
+    Delta/Iceberg MERGE with automatic schema evolution. A batch that
+    ADDS a column therefore merges cleanly; prior rows carry NULL."""
     keys = list(keys)
     tagged = base.withColumn("__src", F.lit(0)).unionByName(
-        updates.withColumn("__src", F.lit(1))
+        updates.withColumn("__src", F.lit(1)), allowMissingColumns=True
     )
     order = [F.desc("__src")] + ([F.desc(order_col)] if order_col else [])
     w = W.partitionBy(*keys).orderBy(*order)

@@ -127,23 +127,30 @@ def ingest_binary_files(
     path: str,
     glob: str | None = None,
     kind: str = "application/octet-stream",
+    with_digest: bool = False,
 ) -> DataFrame:
     """Media-lake ingest via Spark's binaryFile source: one row per
     file with (path, modificationTime, length, content), re-shaped to
     the engine's payload+metadata contract. The source prunes on
     pathGlobFilter and never reads `content` unless the plan needs it
     (column pruning applies to file bytes too), so catalog-only scans
-    of a 100 TB media lake stay metadata-sized."""
+    of a 100 TB media lake stay metadata-sized — which is exactly why
+    the content digest is OPT-IN as a separate top-level column: were
+    md5(content) baked into media_meta, any scan projecting the
+    metadata struct would drag the full file bytes through the reader
+    and the claim above would be false."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
-    return raw.select(
+    cols = [
         F.col("path").alias("uri"),
         F.col("content").alias("payload"),
         F.struct(
             F.lit(kind).alias("kind"),
             F.col("length").cast("long").alias("n_bytes"),
-            F.md5(F.col("content")).alias("digest"),
         ).alias("media_meta"),
-    )
+    ]
+    if with_digest:
+        cols.append(F.md5(F.col("content")).alias("digest"))
+    return raw.select(*cols)

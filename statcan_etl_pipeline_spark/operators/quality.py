@@ -109,6 +109,7 @@ def observed_metrics(df: DataFrame, name: str = "dq"):  # -> (DataFrame, Observa
     whatever action the caller already executes). Read the metrics from
     the returned Observation after an action completes."""
     from pyspark.sql import Observation
+    from pyspark.sql.types import NumericType
 
     exprs = [F.count(F.lit(1)).alias("n_rows")]
     for f in df.schema.fields:
@@ -117,7 +118,9 @@ def observed_metrics(df: DataFrame, name: str = "dq"):  # -> (DataFrame, Observa
                 f"nulls__{f.name}"
             )
         )
-        if f.dataType.typeName() in {"long", "integer", "double", "float", "short"}:
+        # NumericType covers byte/short/int/long/float/double/decimal —
+        # a typeName allowlist silently skipped byte and decimal columns
+        if isinstance(f.dataType, NumericType):
             exprs.append(F.min(f.name).alias(f"min__{f.name}"))
             exprs.append(F.max(f.name).alias(f"max__{f.name}"))
     obs = Observation(name)

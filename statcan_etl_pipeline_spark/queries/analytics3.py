@@ -322,8 +322,12 @@ WITH {_EDGES_SQL}, oriented AS (
     SELECT w.x FROM wedges w JOIN oriented o ON w.y = o.s AND w.x = o.t
   )
 ), summary AS (
+  -- sum the even integer d*(d-1) EXACTLY (DuckDB int sums promote to
+  -- HUGEINT) and halve with integer division AFTER the aggregate:
+  -- per-row double division would accumulate order-dependently past
+  -- 2^53 wedges and could diverge cross-engine
   SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_open_wedges
+         CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_open_wedges
   FROM deg
 ), ecount AS (
   SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
@@ -366,7 +370,10 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     summary = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_open_wedges"),
+        # exact long sum of the (even) wedge count, halved AFTER the agg
+        F.expr("sum(cast(d as bigint) * (d - 1)) div 2")
+        .cast("long")
+        .alias("n_open_wedges"),
     )
     ecount = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (

@@ -152,13 +152,19 @@ WITH pts AS (
   FROM pts GROUP BY p_type
 )
 SELECT p_type, n_parts,
+       -- degenerate-x guard: when every part in the type shares one
+       -- retail price the denominator is exactly 0; Spark (non-ANSI)
+       -- yields NULL on /0 while recent DuckDB defaults yield Inf/NaN,
+       -- so both engines must short-circuit to NULL explicitly
+       CASE WHEN (CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL ELSE
        {R("((CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
           " / (CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))", 8)}
-         AS slope,
+         END AS slope,
+       CASE WHEN (CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL ELSE
        {R("((CAST(sy AS DOUBLE) - ((CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
           " / (CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))"
           " / CAST(n_parts AS DOUBLE))", 4)}
-         AS intercept
+         END AS intercept
 FROM moments
 WHERE n_parts >= 2
 ORDER BY p_type
@@ -186,14 +192,16 @@ def price_qty_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / det
+    # mirror the oracle's degenerate-x guard: NULL when det is exactly 0
     return (
         moments.filter(F.col("n_parts") >= 2)
         .select(
             "p_type",
             "n_parts",
-            pround(slope, 8).alias("slope"),
-            pround((sy - slope * sx) / n, 4).alias("intercept"),
+            F.when(det != 0, pround(slope, 8)).alias("slope"),
+            F.when(det != 0, pround((sy - slope * sx) / n, 4)).alias("intercept"),
         )
         .orderBy("p_type")
     )

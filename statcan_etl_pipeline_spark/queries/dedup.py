@@ -25,6 +25,7 @@ from ..functions.text import (
 from ..functions.vectors import cosine, sql_cosine
 from ..operators.dedup import (
     BAND_ROWS,
+    DF_CAP,
     N_HASHES,
     exploded_shingles,
     jaccard_pairs,
@@ -81,9 +82,14 @@ WITH base AS (
   SELECT DISTINCT doc_id, unnest({sql_word_shingles("toks", 3)}) AS sh FROM base
 ), counts AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), rare AS (
+  -- hot-shingle cap mirrored from operators/dedup.py:jaccard_pairs
+  SELECT sh AS rsh FROM sh GROUP BY rsh HAVING count(*) <= {DF_CAP}
+), idx AS (
+  SELECT doc_id, sh FROM sh JOIN rare ON sh = rsh
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, common,

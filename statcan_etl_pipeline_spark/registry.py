@@ -57,6 +57,7 @@ def _load_all() -> None:
         etl,
         graph,
         multimodal,
+        recursive,
         relational,
         relational2,
         relational3,

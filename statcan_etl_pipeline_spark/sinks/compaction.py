@@ -107,19 +107,44 @@ def compact_parquet(
             lambda a, b: a & b,
             [F.col(f"__d.{p}").eqNullSafe(F.col(f"__c.{p}")) for p in pcols],
         )
-        # Salt via monotonically_increasing_id, not a row hash: a hash
-        # salt can't split EXACT-duplicate rows (they all land in one
-        # group) and fails outright on unhashable column types (maps).
-        # The id is just a distribution key — stability across runs is
-        # not required.
-        salted = (
+        # REPRODUCIBLE salt (a monotonically_increasing_id salt is
+        # partition-layout-dependent, so a task retry could re-salt rows
+        # differently and the output file layout would drift run-to-run):
+        #   1. __salt0 = xxhash64(all hashable columns) mod __files —
+        #      content-derived, so distinct rows spread deterministically.
+        #      Map columns are excluded (unhashable for xxhash64).
+        #   2. EXACT duplicates all share __salt0, so a duplicate-heavy
+        #      partition could blow one file past target; a row_number
+        #      within the (pcols, __salt0) bucket — ordered by the row
+        #      hash — splits them round-robin. Duplicates are
+        #      interchangeable, so the tie-break among them cannot change
+        #      the multiset of any output file: the layout is stable.
+        #      The window is bounded to ~1/__files of a hive partition,
+        #      not the whole partition, so no single-reducer skew.
+        from pyspark.sql.types import MapType
+
+        hashable = [
+            c for c, f in zip(df.columns, df.schema.fields)
+            if not isinstance(f.dataType, MapType)
+        ]
+        row_hash = (
+            F.xxhash64(*[F.col(c) for c in hashable])
+            if hashable
+            else F.lit(0).cast("long")
+        )
+        joined = (
             ddf.join(F.broadcast(cdf), cond)
             .select(*[F.col(f"__d.{x}") for x in df.columns], F.col("__c.__files"))
-            .withColumn(
-                "__salt",
-                F.pmod(F.monotonically_increasing_id(), F.col("__files")),
-            )
+            .withColumn("__rhash", row_hash)
+            .withColumn("__salt0", F.pmod(F.col("__rhash"), F.col("__files")))
         )
+        w_dup = W.partitionBy(*pcols, "__salt0").orderBy("__rhash")
+        salted = joined.withColumn(
+            "__salt",
+            F.pmod(
+                F.col("__salt0") + F.row_number().over(w_dup), F.col("__files")
+            ),
+        ).drop("__rhash", "__salt0")
         (
             salted.repartition(n, *[F.col(c) for c in pcols], F.col("__salt"))
             .drop("__files", "__salt")

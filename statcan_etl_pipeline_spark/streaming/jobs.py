@@ -166,6 +166,7 @@ def merge_batch(
     target_path: str,
     keys: list[str],
     order_col: str,
+    retain_versions: int = 2,
 ) -> bool:
     """Merge ONE micro-batch into the versioned parquet target; returns
     True if a new version was written, False if the batch was already
@@ -199,13 +200,19 @@ def merge_batch(
     else:
         merged = batch_latest
     merged.write.mode("overwrite").parquet(vdir)
-    _gc_versions(spark, target_path)
+    _gc_versions(spark, target_path, keep=retain_versions)
     return True
 
 
 def _gc_versions(spark, target_path: str, keep: int = 2) -> None:
-    """Drop all but the newest `keep` committed versions (the extra one
-    covers readers mid-resolve)."""
+    """VACUUM: drop all but the newest `keep` committed versions.
+    `keep` is the retention policy — it must be >= 2 in production
+    (the extra one covers readers mid-resolve) and bounds time-travel
+    depth: `read_merge_target` can resolve any retained version, so a
+    larger `keep` trades storage for history. keep < 1 is refused
+    (it would delete the current version)."""
+    if keep < 1:
+        raise ValueError(f"retain_versions must be >= 1, got {keep}")
     jvm = spark._jvm
     for old in _committed_versions(spark, target_path)[:-keep]:
         hpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{old}")
@@ -218,6 +225,7 @@ def run_foreach_batch_upsert(
     keys: list[str],
     order_col: str,
     checkpoint_dir: str,
+    retain_versions: int = 2,
 ) -> None:
     """foreachBatch sink: latest-wins MERGE of every micro-batch into a
     parquet target (the Delta-less `MERGE INTO` pattern). foreachBatch
@@ -239,7 +247,14 @@ def run_foreach_batch_upsert(
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch(batch_df, batch_id, target_path, keys=keys, order_col=order_col)
+        merge_batch(
+            batch_df,
+            batch_id,
+            target_path,
+            keys=keys,
+            order_col=order_col,
+            retain_versions=retain_versions,
+        )
 
     q = (
         df.writeStream.foreachBatch(_merge)

@@ -223,3 +223,35 @@ def test_compaction_plan_properties():
         assert 0 <= plan["small_files"] <= len(sizes)
 
     check()
+
+
+def test_compaction_salt_is_reproducible(spark, sf_small):
+    """The content-derived salt makes the partitioned-compaction output
+    layout deterministic: compacting the same input twice produces
+    identical per-file row multisets (the verdict criterion for
+    replacing the monotonically_increasing_id salt, whose assignment
+    could drift on task retry / partition-layout change). Exact
+    duplicates are still spread by the row_number splitter."""
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "bucket", F.when(F.col("o_orderkey") % 20 == 0, "small").otherwise("big")
+    )
+    src = _tmp("salt_src_")
+    orders.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(src)
+    total = sum(sz for _, sz in list_data_files(spark, src))
+    target = max(total // 6, 1)
+
+    def layout() -> list:
+        out = _tmp("salt_out_")
+        compact_parquet(
+            spark, src, out, target_bytes=target, partition_cols=["bucket"]
+        )
+        per_file = []
+        for p, _ in sorted(list_data_files(spark, out)):
+            rows = spark.read.parquet(p).select("o_orderkey").collect()
+            bucket = p.split("/bucket=")[1].split("/")[0]
+            per_file.append((bucket, tuple(sorted(r["o_orderkey"] for r in rows))))
+        # file names differ run-to-run (job ids); compare the multiset of
+        # (partition, row-content) file payloads
+        return sorted(per_file)
+
+    assert layout() == layout()

@@ -51,3 +51,42 @@ def test_exact_dedup_idempotent(spark, sf_small):
     from statcan_etl_pipeline_spark.catalog import load_table
 
     assert total_docs == load_table(spark, sf_small, "documents").count()
+
+
+def test_hot_shingle_fanout_capped(spark):
+    """One shingle shared by EVERY doc (the stop-phrase shape that emits
+    C(n,2) pairs per shingle at corpus scale) is dropped from pair
+    generation once its document frequency exceeds df_cap; pairs are
+    then driven only by the rare shingles."""
+    n = 40
+    # every doc carries the hot shingle; docs 2i/2i+1 also share a rare one
+    rows = [(i, ["hot!!", f"rare-{i // 2}"]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    sh = exploded_shingles(df)
+    uncapped = jaccard_pairs(sh, threshold=0.0, df_cap=10**9)
+    assert uncapped.count() == n * (n - 1) // 2  # hot shingle links all pairs
+    capped = jaccard_pairs(sh, threshold=0.0, df_cap=10)
+    got = {(r["doc_a"], r["doc_b"]): r for r in capped.collect()}
+    # only the rare-shingle pairs survive — bounded fan-out
+    assert set(got) == {(2 * i, 2 * i + 1) for i in range(n // 2)}
+    for r in got.values():
+        # intersection counts only rare shingles; n_sh stays uncapped,
+        # so jaccard is the conservative lower bound 1/3
+        assert r["common"] == 1
+        assert abs(r["jaccard"] - 1.0 / 3.0) < 1e-12
+
+
+def test_scatter_gated_on_input_width(spark):
+    """scatter() must be a no-op when the input already has >= session
+    parallelism splits — at 100-TB scale the corpus arrives in thousands
+    of files and an unconditional repartition would be a full shuffle of
+    the largest table before any work."""
+    from statcan_etl_pipeline_spark.catalog import scatter
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(par + 4)
+    assert scatter(spark, narrow).rdd.getNumPartitions() == par
+    out = scatter(spark, wide)
+    assert out is wide  # untouched: no Exchange added
+    assert out.rdd.getNumPartitions() == par + 4

@@ -229,3 +229,78 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_small):
         for r in QUERIES["embedding_kmeans"](spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_ann_recall_vs_cost_contract_table(spark, sf_small):
+    """ONE comparable grading artifact for the five ANN variants:
+    recall@10 vs brute force AND the mean per-query candidate-set size
+    (the scale cost — how many vectors each query actually scores).
+    Floors match the per-method docs; the cost column pins that the
+    bucketed methods (lsh/ivf/ivfpq) search a strict subset of the
+    corpus while the compressed full-scan methods (pq/sq) trade
+    candidate pruning for cheaper arithmetic."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.queries.similarity import (
+        N_QUERIES,
+        assign_cells,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n_vec = emb.count()
+
+    # mean candidate count per query, per method
+    bucketed = emb.withColumn("bucket", lsh_bucket("embedding"))
+    bucket_sizes = {
+        r["bucket"]: r["n"]
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    q_buckets = [
+        r["bucket"]
+        for r in bucketed.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    lsh_cost = sum(bucket_sizes[b] - 1 for b in q_buckets) / len(q_buckets)
+
+    cells1 = assign_cells(emb, "embedding", nprobe=1).select(
+        "vec_id", F.element_at("cells", 1).alias("cell")
+    )
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in cells1.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    q_cells = {
+        r["vec_id"]: r["cells"]
+        for r in assign_cells(
+            emb.filter(F.col("vec_id") < N_QUERIES), "embedding", nprobe=2
+        ).collect()
+    }
+    ivf_cost = sum(
+        sum(cell_sizes.get(c, 0) for c in cells) - 1
+        for cells in q_cells.values()
+    ) / len(q_cells)
+
+    methods = {
+        "ann_lsh_cosine": (None, lsh_cost),
+        "ann_ivf_cosine": (None, ivf_cost),
+        "ann_sq_cosine": (0.80, float(n_vec - 1)),
+        "ann_pq_cosine": (0.03, float(n_vec - 1)),
+        "ann_ivfpq_cosine": (0.03, ivf_cost),
+    }
+    rows = []
+    for name, (floor, cost) in methods.items():
+        rec = _recall_at_k(spark, sf_small, name)
+        rows.append((name, rec, cost))
+        if floor is not None:
+            assert rec >= floor, f"{name}: recall@10 {rec:.3f} < floor {floor}"
+    print("\nmethod               recall@10  mean_candidates (n_vec=%d)" % n_vec)
+    for name, rec, cost in rows:
+        print(f"{name:<20s} {rec:9.3f}  {cost:14.1f}")
+    # bucketed methods must prune: strictly fewer candidates than full scan
+    assert lsh_cost < n_vec - 1
+    assert ivf_cost < n_vec - 1
+    # bucketed recall is nonzero (buckets aren't empty/broken)
+    by_name = dict((n, r) for n, r, _ in rows)
+    assert by_name["ann_lsh_cosine"] > 0.0
+    assert by_name["ann_ivf_cosine"] > 0.0

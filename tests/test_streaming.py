@@ -548,3 +548,70 @@ def test_foreach_batch_fanout_two_sinks_consistent(spark, sf_small, tmp_path):
     }
     assert got_from_raw == want
     assert got_from_agg == want
+
+
+def test_merge_batch_schema_evolution_adds_column(spark, tmp_path):
+    """A batch that ADDS a column merges without corrupting prior
+    versions: pre-existing rows carry NULL for the new column, the old
+    version dir stays readable with its original schema, and a
+    follow-up batch in the evolved schema merges normally."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        merge_batch,
+        read_merge_target,
+    )
+
+    target = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id int, event_id int, v string"
+    )
+    # batch 1 arrives with a NEW column `region`
+    b1 = spark.createDataFrame(
+        [(2, 20, "b2", "EU"), (3, 12, "c", "NA")],
+        "user_id int, event_id int, v string, region string",
+    )
+    assert merge_batch(b0, 0, target, keys=["user_id"], order_col="event_id",
+                       retain_versions=10)
+    assert merge_batch(b1, 1, target, keys=["user_id"], order_col="event_id",
+                       retain_versions=10)
+    latest = read_merge_target(spark, target)
+    assert set(latest.columns) == {"user_id", "event_id", "v", "region"}
+    got = {r["user_id"]: (r["event_id"], r["v"], r["region"])
+           for r in latest.collect()}
+    assert got == {1: (10, "a", None), 2: (20, "b2", "EU"), 3: (12, "c", "NA")}
+    # the committed v0 is untouched and still reads with the OLD schema
+    v0 = spark.read.parquet(f"{target}/v{0:010d}")
+    assert set(v0.columns) == {"user_id", "event_id", "v"}
+    assert v0.count() == 2
+
+
+def test_merge_batch_retention_policy(spark, tmp_path):
+    """retain_versions bounds on-disk history: with keep=2, older
+    version dirs are vacuumed; with a larger keep they survive for
+    time travel. keep < 1 is refused."""
+    import os
+
+    import pytest
+
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        _committed_versions,
+        _gc_versions,
+        merge_batch,
+    )
+
+    target = str(tmp_path / "t")
+    sch = "user_id int, event_id int, v string"
+    for i in range(4):
+        b = spark.createDataFrame([(1, 10 + i, f"v{i}")], sch)
+        assert merge_batch(b, i, target, keys=["user_id"], order_col="event_id",
+                           retain_versions=10)
+    assert len(_committed_versions(spark, target)) == 4  # keep=10: all retained
+
+    b = spark.createDataFrame([(1, 99, "v4")], sch)
+    assert merge_batch(b, 4, target, keys=["user_id"], order_col="event_id",
+                       retain_versions=2)
+    kept = _committed_versions(spark, target)
+    assert kept == [f"v{3:010d}", f"v{4:010d}"]
+    assert not os.path.exists(f"{target}/v{0:010d}")
+
+    with pytest.raises(ValueError):
+        _gc_versions(spark, target, keep=0)
