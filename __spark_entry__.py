@@ -42,6 +42,13 @@ _CHECK_FIRST = [
     # --- round 6: new or touched this round — must be verified ---
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
+    "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc
+    "corpus_cross_source_overlap",  # new: exact shingle Jaccard between source pairs
+    "events_ohlc_hourly",  # new: OHLC resample bars (min_by/max_by struct key)
+    "revenue_contribution_growth",  # new: MoM growth decomposition by priority
+    "dedup_cluster_size_census",  # new: near-dup cluster size distribution
+    "embedding_interclass_similarity",  # new: label-centroid cosine matrix
+    "copurchase_part_similarity",  # new: item-item neighborhood Jaccard
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

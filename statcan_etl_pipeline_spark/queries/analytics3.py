@@ -846,3 +846,86 @@ def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase part similarity (round 6): neighborhood Jaccard between
+# part pairs — "customers who bought X also bought Y", the item-item
+# collaborative-filtering primitive. Common-neighbor counts are the
+# full wedge enumeration (cost Σ_z C(d_z, 2), the exact algorithm's
+# lower bound); hub centers with degree > _SIM_HUB_CAP are dropped
+# before pair generation (mirrored in the oracle) — a promotional SKU
+# in 10⁶ orders would otherwise emit ~5·10¹¹ pairs while carrying ~no
+# similarity signal, the same rationale as jaccard_pairs' hot-shingle
+# cap (max degree at sf0.1 is 222, so test SFs are unaffected). The
+# report keeps pairs with common ≥ 3 and Jaccard ≥ 0.1.
+# ---------------------------------------------------------------------------
+
+_SIM_HUB_CAP = 10_000
+
+
+@query(
+    "copurchase_part_similarity",
+    oracle=f"""
+WITH {_EDGES_SQL}, adj AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+), small AS (
+  SELECT a.node, a.nbr FROM adj a JOIN deg ON deg.node = a.node
+  WHERE deg.d <= {_SIM_HUB_CAP}
+), common AS (
+  SELECT a.nbr AS part_x, b.nbr AS part_y, CAST(count(*) AS BIGINT) AS common
+  FROM small a JOIN small b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY part_x, part_y
+)
+SELECT part_x, part_y, common,
+       dx.d AS deg_x, dy.d AS deg_y,
+       {R("(CAST(common AS DOUBLE) / CAST(dx.d + dy.d - common AS DOUBLE))", 6)}
+         AS jaccard
+FROM common
+JOIN deg dx ON dx.node = part_x
+JOIN deg dy ON dy.node = part_y
+WHERE common >= 3
+  AND (CAST(common AS DOUBLE) / CAST(dx.d + dy.d - common AS DOUBLE)) >= 0.1
+ORDER BY part_x, part_y
+""",
+)
+def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _copurchase_degrees(edges)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    small = adj.join(
+        deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node")) & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("part_x"), F.col("b.nbr").alias("part_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    dx = deg.select(F.col("node").alias("part_x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("part_y"), F.col("d").alias("deg_y"))
+    jac = F.col("common").cast("double") / (
+        F.col("deg_x") + F.col("deg_y") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(dx, "part_x")
+        .join(dy, "part_y")
+        .filter((F.col("common") >= 3) & (jac >= 0.1))
+        .select(
+            "part_x",
+            "part_y",
+            "common",
+            "deg_x",
+            "deg_y",
+            pround(jac, 6).alias("jaccard"),
+        )
+        .orderBy("part_x", "part_y")
+    )

@@ -286,3 +286,135 @@ def pii_scan_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl novelty (round 6): per document, the fraction of its word
+# 3-gram shingles that no EARLIER document (doc_id order = ingest
+# order) contains — the incremental-crawl signal for "is this batch
+# adding new content or re-crawling what we have". A shingle's first
+# owner is min(doc_id): one map-combinable aggregate over the
+# inverted index, then an equi-join back — no per-pair work at all,
+# so the operator is linear in corpus shingle volume and immune to
+# hot shingles (contrast jaccard_pairs' capped self-join).
+# ---------------------------------------------------------------------------
+
+from ..functions.text import sql_word_shingles, word_shingles  # noqa: E402
+
+
+@query(
+    "doc_novelty_by_order",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_word_shingles("toks", 3)}) AS sh FROM base
+), first AS (
+  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       {R("(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)"
+          " / CAST(count(*) AS DOUBLE))", 6)} AS novelty_ratio
+FROM sh s JOIN first f ON s.sh = f.sh
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def doc_novelty_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir).withColumn("shingles", word_shingles("toks", 3))
+    sh = base.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ratio",
+            pround(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap (round 6): EXACT shingle-set Jaccard between
+# every pair of sources — "how much of source B is already in source
+# A" for dataset-mixing decisions. The per-shingle source list is the
+# inverted index again; pair fan-out per shingle is bounded by the
+# SOURCE count (not doc count), so the self-join is C(n_sources, 2)
+# per shingle at worst — safe at any corpus size for catalog-scale
+# source counts. Output is O(n_sources²) rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_cross_source_overlap",
+    oracle=f"""
+WITH base AS ({_DOC_BASE_SQL}),
+sh AS (
+  SELECT DISTINCT source, unnest({sql_word_shingles("toks", 3)}) AS sh FROM base
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, common, sa.n AS n_a, sb.n AS n_b,
+       {R("(CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE))", 6)}
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+""",
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_base(spark, sf_dir).withColumn("shingles", word_shingles("toks", 3))
+    sh = base.select(
+        "source", F.explode(F.array_distinct("shingles")).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            "n_a",
+            "n_b",
+            pround(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

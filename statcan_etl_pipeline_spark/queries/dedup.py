@@ -401,3 +401,75 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("group_rep"),
         (F.col("vertex") == F.col("component")).cast("int").alias("keep"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact census (round 6): the distribution of near-dup cluster
+# sizes — the dashboard a curation run reads to decide "how duplicated
+# is this corpus" before committing to a dedup pass. Components from
+# the MinHash-LSH pairs (same pipeline as dedup_connected_groups),
+# then one tiny aggregate: for each cluster size, how many clusters
+# and how many docs, plus how many docs a keep-one-per-cluster pass
+# would drop. The census itself is O(distinct sizes) rows; everything
+# upstream is the already-bounded banded-LSH + star-components path.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_size_census",
+    oracle=f"""
+WITH RECURSIVE {_mh_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach (doc_id, r) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT doc_id, min(r) AS group_rep FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT group_rep, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY group_rep
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped_if_deduped
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+""",
+)
+def dedup_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    shingled = exploded_shingles(docs)
+    sig = minhash_signature(shingled, N_HASHES)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_dropped_if_deduped"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -397,3 +397,105 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-class centroid similarity (round 6): pairwise cosine between
+# label centroids — the class-separation monitor (labels whose
+# centroids sit too close are confusable; a training-data QA staple
+# next to embedding_label_outliers). Portability trick: centroid
+# cosine is SCALE-INVARIANT, so the per-label counts cancel and
+# cos(a,b) = S_ab / sqrt(S_aa * S_bb) where S_xy is the exact integer
+# dot product of micro-unit component SUMS (no per-label division
+# before the final expression — no float accumulation at all).
+# Component sums are the same single (label, pos) shuffle as
+# embedding_centroids_by_label; everything after runs on a k×dim
+# table (k labels — driver-trivial at any corpus size). Sums are
+# DECIMAL(38,0)/HUGEINT: micro sums reach ~1e9 per component at
+# 100-TB label sizes, so int64 products would overflow.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_interclass_similarity",
+    oracle=f"""
+WITH comp AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+         CAST(sum({_COMP_MICRO_SQL}) AS HUGEINT) AS s
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(a.s * b.s) AS HUGEINT) AS s_ab
+  FROM comp a JOIN comp b ON a.pos = b.pos
+  GROUP BY label_a, label_b
+), diag AS (
+  SELECT label_a AS label, s_ab AS s_self FROM dots WHERE label_a = label_b
+)
+SELECT d.label_a, d.label_b,
+       {R("(CAST(d.s_ab AS DOUBLE) / (sqrt(CAST(da.s_self AS DOUBLE)) * sqrt(CAST(db.s_self AS DOUBLE))))", 6)}
+         AS centroid_cosine
+FROM dots d
+JOIN diag da ON da.label = d.label_a
+JOIN diag db ON db.label = d.label_b
+WHERE d.label_a < d.label_b
+ORDER BY d.label_a, d.label_b
+""",
+)
+def embedding_interclass_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    micro = (
+        F.when(
+            F.col("v") >= 0,
+            F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)),
+        )
+        .otherwise(-F.floor(-F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+    )
+    comp = (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("pos0", "v"),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            micro.alias("micro"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("micro").cast("decimal(38,0)").alias("s"))
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("s_a")
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("s_b")
+    )
+    dots = (
+        a.join(b, "pos")
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("s_a") * F.col("s_b")).alias("s_ab"))
+    )
+    diag = dots.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("label"), F.col("s_ab").alias("s_self")
+    )
+    da = diag.select(F.col("label").alias("label_a"), F.col("s_self").alias("ss_a"))
+    db = diag.select(F.col("label").alias("label_b"), F.col("s_self").alias("ss_b"))
+    return (
+        dots.filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(da), "label_a")
+        .join(F.broadcast(db), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            pround(
+                F.col("s_ab").cast("double")
+                / (
+                    F.sqrt(F.col("ss_a").cast("double"))
+                    * F.sqrt(F.col("ss_b").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

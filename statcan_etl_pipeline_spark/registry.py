@@ -50,6 +50,7 @@ def _load_all() -> None:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         approx,
         curation,
         dedup,

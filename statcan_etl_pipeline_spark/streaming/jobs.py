@@ -92,6 +92,45 @@ def purchases_after_views_join(stream: DataFrame, watermark: str = "2 hours") ->
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
 
 
+def purchases_after_views_outer_join(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits,
+    matched to preceding-hour views where they exist, with NULL view
+    columns otherwise. Outer results can only be emitted once the
+    watermark proves no matching view can still arrive — so unmatched
+    rows appear LATE (watermark-delayed), which is the semantic
+    difference a pipeline must plan for vs the inner join. Both
+    watermarks plus the time-range predicate bound the state exactly
+    as in the inner variant."""
+    stream = _with_event_time(stream)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -615,3 +615,61 @@ def test_merge_batch_retention_policy(spark, tmp_path):
 
     with pytest.raises(ValueError):
         _gc_versions(spark, target, keep=0)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_small):
+    """LEFT OUTER stream-stream join: purchases with no preceding-hour
+    view must surface with NULL view_id once the watermark passes, and
+    matched rows must agree with the batch join. availableNow drains
+    the finite source, so the final watermark releases all outer rows."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        purchases_after_views_outer_join,
+    )
+
+    stream = _normalized_stream(spark, sf_small)
+    q = (
+        purchases_after_views_outer_join(stream)
+        .writeStream.format("memory")
+        .queryName("ss_outer_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("ss_outer_join").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"), "p_ts")
+    want = {tuple(r)[:3] for r in batch.collect()}
+    # SEMANTIC: outer (NULL) results are watermark-released. At stream
+    # end the watermark stops at max_event_time - delay, so unmatched
+    # purchases INSIDE that final margin are never emitted — the exact
+    # behavior a downstream pipeline must plan for. Matched rows are
+    # not watermark-gated and must all be present.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - __import__("datetime").timedelta(hours=2)
+    releasable = {
+        tuple(r)[:3]
+        for r in batch.filter(
+            F.col("view_id").isNotNull() | (F.col("p_ts") <= F.lit(horizon))
+        ).collect()
+    }
+    assert releasable <= got <= want
+    unmatched = {r for r in got if r[1] is None}
+    matched = {r for r in got if r[1] is not None}
+    assert matched == {r for r in want if r[1] is not None}
+    assert unmatched, "some purchase must lack a preceding-hour view"
