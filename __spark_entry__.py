@@ -49,6 +49,9 @@ _CHECK_FIRST = [
     "dedup_cluster_size_census",  # new: near-dup cluster size distribution
     "embedding_interclass_similarity",  # new: label-centroid cosine matrix
     "copurchase_part_similarity",  # new: item-item neighborhood Jaccard
+    "multimodal_frame_catalog",  # new: mapInPandas frame sampler under full oracle
+    "statcan_revision_analysis",  # new: first-vs-final estimate vintage summary
+    "stratified_sample_exact",  # new: exact ceil(10%) per-stratum selection
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

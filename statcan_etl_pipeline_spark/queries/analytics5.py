@@ -141,3 +141,91 @@ def revenue_contribution_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_c",
         contrib.alias("contribution_pp"),
     ).orderBy("month_start", "prio")
+
+
+# ---------------------------------------------------------------------------
+# Revision analysis (round 6): how much do first estimates move before
+# settling? Treating (user_id = series, calendar day = ref period,
+# re-publications ordered by (ts, event_id)) as the WDS revision
+# stream — the vintage-triangle summary a statistical agency publishes
+# about itself. First/final per (series, day) use the same single
+# min_by/max_by struct-key aggregation as events_ohlc_hourly (one
+# map-combinable shuffle); the per-series rollup then runs on the tiny
+# (series × day) table with exact integer-cents revision magnitudes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "statcan_revision_analysis",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS ref_date, value,
+         row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts DESC, event_id DESC) AS rn_d,
+         count(*) OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')) AS n_pubs
+  FROM events
+), per_obs AS (
+  SELECT user_id, ref_date,
+         max(CASE WHEN rn_a = 1 THEN {sql_cents("value")} END) AS first_c,
+         max(CASE WHEN rn_d = 1 THEN {sql_cents("value")} END) AS final_c,
+         max(n_pubs) AS n_pubs
+  FROM ranked GROUP BY user_id, ref_date
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN n_pubs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_republished,
+       CAST(sum(CASE WHEN final_c <> first_c THEN 1 ELSE 0 END) AS BIGINT) AS n_revised,
+       CAST(sum(abs(final_c - first_c)) AS BIGINT) AS total_abs_revision_c,
+       {R("(CAST(sum(abs(final_c - first_c)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE))", 4)}
+         AS mean_abs_revision
+FROM per_obs
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def statcan_revision_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    per_obs = (
+        ev.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("ref_date"),
+            cents("value").alias("c"),
+            key.alias("k"),
+        )
+        .groupBy("user_id", "ref_date")
+        .agg(
+            F.expr("min_by(c, k)").alias("first_c"),
+            F.expr("max_by(c, k)").alias("final_c"),
+            F.count(F.lit(1)).alias("n_pubs"),
+        )
+    )
+    return (
+        per_obs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.when(F.col("n_pubs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_republished"),
+            F.sum(F.when(F.col("final_c") != F.col("first_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_revised"),
+            F.sum(F.abs(F.col("final_c") - F.col("first_c")))
+            .cast("long")
+            .alias("total_abs_revision_c"),
+        )
+        .withColumn(
+            "mean_abs_revision",
+            pround(
+                F.col("total_abs_revision_c").cast("double")
+                / F.lit(100.0)
+                / F.col("n_obs").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("user_id")
+    )

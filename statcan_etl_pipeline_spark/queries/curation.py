@@ -55,7 +55,6 @@ SELECT doc_id,
          AS rare_ratio
 FROM flagged
 GROUP BY doc_id
-ORDER BY doc_id
 """,
 )
 def doc_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +84,6 @@ def doc_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("is_rare").cast("double") / F.count(F.lit(1)).cast("double"), 6
             ).alias("rare_ratio"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -417,4 +415,57 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sampling (round 6): EXACTLY ceil(10%) of every
+# (lang, source) stratum, selected deterministically by md5(doc_id)
+# rank — the eval-split builder where binomial drift is unacceptable
+# (contrast doc_train_val_split / corpus_mixture_resample, whose
+# hash-threshold selection is O(1) per row but only approximately
+# sized). Exact-k NEEDS a per-stratum rank: the window partitions by
+# stratum, so this is for bounded-size eval strata; for corpus-scale
+# strata use the threshold samplers (documented trade). Selection
+# test `10*rk <= n+9` is the integer form of rk <= ceil(n/10) — no
+# float thresholds anywhere.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stratified_sample_exact",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang, source) AS n_stratum
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(n_stratum AS BIGINT) AS n_stratum,
+       CAST(CASE WHEN 10 * rk <= n_stratum + 9 THEN 1 ELSE 0 END AS INT)
+         AS is_sampled
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    wc = W.partitionBy("lang", "source")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(wc).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_stratum",
+            (F.lit(10) * F.col("rk") <= F.col("n_stratum") + 9)
+            .cast("int")
+            .alias("is_sampled"),
+        )
     )

@@ -66,8 +66,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(F.col("norm").cast("binary")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("fp")
-    )
+    )  # no trailing sort: driver hash is order-insensitive
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +108,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shingles", word_shingles("toks", 3))
     )
     shingled = exploded_shingles(docs)
-    return jaccard_pairs(shingled, JACCARD_TAU).orderBy("doc_a", "doc_b")
+    return jaccard_pairs(shingled, JACCARD_TAU)
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +161,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "shuffle-free" array formulation (see minhash_signature_arrays)
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
-    return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS).orderBy("doc_a", "doc_b")
+    return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +204,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(docs.select("doc_id"), pairs)
     return comp.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("group_rep")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +224,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shingles", char_shingles("norm", 5))
     )
     shingled = exploded_shingles(docs)
-    return simhash_signatures(shingled).orderBy("doc_id")
+    return simhash_signatures(shingled)
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +316,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only. One shuffle per table on the bucket key plus
     two id-equi-joins for the verify — survives 100× where the
     brute-force baseline's inequality join cannot."""
-    return _embedding_lsh_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+    return _embedding_lsh_pairs(spark, sf_dir)
 
 
 def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +399,7 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vertex").alias("vec_id"),
         F.col("component").alias("group_rep"),
         (F.col("vertex") == F.col("component")).cast("int").alias("keep"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -196,8 +196,7 @@ def statcan_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "ref_date", "value", F.col("event_id").alias("revision_event"))
-        .orderBy("user_id", "ref_date")
-    )
+    )  # no trailing sort: driver hash is order-insensitive
 
 
 # ---------------------------------------------------------------------------

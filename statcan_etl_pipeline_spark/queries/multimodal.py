@@ -29,7 +29,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.kind").alias("kind"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.digest").alias("digest"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -84,4 +84,59 @@ def multimodal_kind_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("digest").cast("long").alias("n_distinct_payloads"),
         )
         .orderBy("kind", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame catalog (round 6): the frame-sampling mapInPandas path under a
+# FULL content oracle — every sampled frame's bytes are checked, not
+# just the plumbing shape. fake_frame_sample slices every stride-th
+# byte window (the ffmpeg stand-in; same fan-out as real frame
+# extraction); the Python side emits md5(upper-hex(frame bytes)),
+# which DuckDB reproduces as md5(substring(hex(encode(text)), ...))
+# — blob slicing isn't portable, hex-string slicing is. Runs over a
+# deterministic ~14% doc sample (Python is the slow path; the demo
+# bounds it like udtf_token_positions does).
+# ---------------------------------------------------------------------------
+_FRAME_STRIDE = 16
+_FRAME_MAX = 4
+
+
+@query(
+    "multimodal_frame_catalog",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents WHERE doc_id % 7 = 0
+), sized AS (
+  SELECT doc_id, h,
+         least({_FRAME_MAX}, greatest(length(h) // {2 * _FRAME_STRIDE}, 1)) AS n_frames
+  FROM m
+), f AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         substring(h, CAST(i * {2 * _FRAME_STRIDE} + 1 AS BIGINT), {2 * _FRAME_STRIDE}) AS fh
+  FROM sized CROSS JOIN range(0, {_FRAME_MAX}) t(i)
+  WHERE i < n_frames
+)
+SELECT doc_id, frame_idx,
+       CAST(length(fh) // 2 AS BIGINT) AS n_bytes,
+       md5(fh) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import fake_frame_sample
+
+    docs = attach_binary_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    )
+    frames = fake_frame_sample(
+        docs.select("doc_id", "payload"),
+        stride=_FRAME_STRIDE,
+        max_frames=_FRAME_MAX,
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5(F.upper(F.hex("frame")).cast("binary")).alias("frame_md5"),
     )

@@ -385,3 +385,56 @@ def test_weighted_median_windows_partition_by_brand_bucket(spark, sf_small):
     assert row_wins, plan
     for ln in row_wins:
         assert "bucket" in ln.split("windowspecdefinition", 1)[1][:60], ln
+
+
+def test_copurchase_similarity_no_cartesian_and_no_bnlj(spark, sf_small):
+    """The wedge self-join and degree joins must stay equi-joins."""
+    plan = _plan(spark, "copurchase_part_similarity", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_novelty_is_aggregate_plus_equijoin(spark, sf_small):
+    """First-occurrence novelty must not contain any pairwise join —
+    one aggregate over the inverted index plus one equi-join back."""
+    plan = _plan(spark, "doc_novelty_by_order", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan  # map-side combine on the min(doc_id) agg
+
+
+def test_ohlc_is_single_aggregation_no_window(spark, sf_small):
+    """OHLC bars run as ONE partial-aggregated groupBy (min_by/max_by
+    struct keys), never as a fact-table window."""
+    plan = _plan(spark, "events_ohlc_hourly", sf_small)
+    assert "partial_" in plan
+    assert "RunningWindowFunction" not in plan
+    # exactly one wide shuffle for the aggregation (+1 for final sort)
+    assert plan.count("hashpartitioning") <= 2
+
+
+def test_interclass_similarity_small_side_broadcasts(spark, sf_small):
+    plan = _plan(spark, "embedding_interclass_similarity", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_per_doc_outputs_have_no_trailing_global_sort(spark, sf_small):
+    """Driver hash is order-insensitive; per-doc/per-pair outputs must
+    not end in a global Sort+Exchange (a full shuffle of N corpus rows
+    at scale). The final node should be projection/aggregation-shaped."""
+    for name in [
+        "text_stats",
+        "text_quality_score",
+        "text_fingerprint",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_connected_groups",
+        "doc_unigram_rarity",
+        "statcan_latest_revision",
+    ]:
+        plan = _plan(spark, name, sf_small)
+        first_lines = "\n".join(plan.splitlines()[:6])
+        # a trailing global sort shows as a rangepartitioning Exchange
+        # feeding a Sort at the very top of the plan
+        assert "rangepartitioning" not in first_lines, (name, first_lines)
