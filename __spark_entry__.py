@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "multimodal_frame_catalog",  # new: mapInPandas frame sampler under full oracle
     "statcan_revision_analysis",  # new: first-vs-final estimate vintage summary
     "stratified_sample_exact",  # new: exact ceil(10%) per-stratum selection
+    "collated_segment_rollup",  # new: Spark-4 COLLATE UTF8_LCASE grouping
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

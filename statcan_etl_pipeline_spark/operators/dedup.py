@@ -135,13 +135,17 @@ def jaccard_pairs(
     The oracle SQL mirrors the cap exactly, so parity is unaffected
     (max df at sf0.1 is 25 — far under the cap)."""
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (
+    # the HOT set is tiny by construction (#shingles with df > cap is at
+    # most total_occurrences/cap), so exclude it with a BROADCAST
+    # anti-join — the df count is the only extra shuffle; the inverted
+    # index itself is never re-shuffled for the filter
+    hot = (
         shingled.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
+        .filter(F.col("df") > df_cap)
         .select("sh")
     )
-    indexed = shingled.join(rare, "sh")
+    indexed = shingled.join(F.broadcast(hot), "sh", "left_anti")
     a = indexed.alias("a")
     b = indexed.alias("b")
     common = (

@@ -43,6 +43,31 @@ def upsert(
     )
 
 
+def merge_latest_by(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Out-of-order-tolerant merge: for each key the row with the
+    HIGHEST order_col wins regardless of which side it came from —
+    unlike `upsert`, where updates always beat base. This is the CDC
+    shape when change events can arrive across micro-batches out of
+    order: a late-arriving OLDER revision must not overwrite a newer
+    one already merged. Ties on order_col fall to the update side.
+    One shuffle on the key; allowMissingColumns as in upsert."""
+    keys = list(keys)
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
+    w = W.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("__src"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def scd2_history(
     df: DataFrame,
     keys: Sequence[str],

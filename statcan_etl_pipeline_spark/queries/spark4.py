@@ -228,3 +228,52 @@ _LCA_FILLED = _LCA_SQL.replace(
 def lateral_alias_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_LCA_FILLED)
+
+
+# ---------------------------------------------------------------------------
+# Collations (Spark 4): case-insensitive GROUP BY via COLLATE
+# UTF8_LCASE — the engine-level answer to "normalize casing before
+# every comparison". Segment casing is deliberately mangled three ways
+# per customer key; grouping on the collated column collapses the
+# variants (n_case_variants = 3 proves the collation did the work, and
+# the inner count(DISTINCT seg COLLATE UTF8_BINARY) pins that the raw
+# binary values really differed). Oracle: DuckDB lower()-keyed
+# grouping — identical semantics for ASCII casing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "collated_segment_rollup",
+    oracle="""
+WITH mangled AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN
+                upper(substring(lower(c_mktsegment), 1, 1))
+                || substring(lower(c_mktsegment), 2)
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment_ci,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+FROM mangled
+GROUP BY lower(seg)
+ORDER BY segment_ci
+""",
+)
+def collated_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+WITH mangled AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN initcap(lower(c_mktsegment))
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT lower(seg COLLATE UTF8_LCASE) AS segment_ci,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT seg COLLATE UTF8_BINARY) AS BIGINT) AS n_case_variants
+FROM mangled
+GROUP BY seg COLLATE UTF8_LCASE
+ORDER BY segment_ci
+""")

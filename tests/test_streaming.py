@@ -673,3 +673,92 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_small):
     matched = {r for r in got if r[1] is not None}
     assert matched == {r for r in want if r[1] is not None}
     assert unmatched, "some purchase must lack a preceding-hour view"
+
+
+def test_streaming_scd2_maintenance_matches_batch(spark, sf_small, tmp_path):
+    """SCD2 dimension history maintained per micro-batch (per-key
+    incremental valid_to recompute) equals the from-scratch batch
+    scd2_history over the same rows — across a 4-micro-batch stream
+    where later batches revise earlier keys' histories."""
+    from statcan_etl_pipeline_spark.operators.incremental import (
+        scd2_history,
+        upsert,
+    )
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        read_merge_target,
+        run_foreach_batch_scd2,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("ref_date"),
+        "value",
+        "event_id",
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "scd2")
+    run_foreach_batch_scd2(
+        stream, target, checkpoint_dir=str(tmp_path / "ck"),
+        order_col="event_id",
+    )
+    got = {
+        tuple(r)
+        for r in read_merge_target(spark, target)
+        .select("user_id", "ref_date", "value", "valid_from", "valid_to")
+        .collect()
+    }
+    # batch twin: latest (by event_id) value per (user, day), then SCD2
+    latest = upsert(
+        ev.limit(0), ev, keys=["user_id", "ref_date"], order_col="event_id"
+    )
+    want = {
+        tuple(r)
+        for r in scd2_history(latest, keys=["user_id"], effective_col="ref_date")
+        .select("user_id", "ref_date", "value", "valid_from", "valid_to")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # open-ended current version per user
+    opens = [r for r in got if r[4] == "9999-12-31"]
+    users = {r[0] for r in got}
+    assert len(opens) == len(users)
+
+
+def test_scd2_batch_replay_and_out_of_order_revision(spark, tmp_path):
+    """Replaying a committed scd2 batch is a no-op, and a late batch
+    carrying an OLDER revision (lower order_col) for an existing
+    (key, effective) must NOT overwrite the newer value — cross-batch
+    conflicts resolve by the data's order column, not arrival order."""
+    from statcan_etl_pipeline_spark.streaming.jobs import (
+        read_merge_target,
+        scd2_batch,
+    )
+
+    target = str(tmp_path / "t")
+    sch = "user_id int, ref_date string, value double, event_id int"
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 100), (1, "2024-01-03", 30.0, 101)], sch
+    )
+    assert scd2_batch(b0, 0, target, order_col="event_id")
+    # replay of committed batch: no-op
+    assert scd2_batch(b0, 0, target, order_col="event_id") is False
+    # late batch: older revision (event_id 50) for 01-01 + new day 01-02
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01", 99.0, 50), (1, "2024-01-02", 20.0, 102)], sch
+    )
+    assert scd2_batch(b1, 1, target, order_col="event_id")
+    got = {
+        (r["ref_date"], r["value"], r["valid_from"], r["valid_to"])
+        for r in read_merge_target(spark, target).collect()
+    }
+    assert got == {
+        ("2024-01-01", 10.0, "2024-01-01", "2024-01-02"),  # 99.0 rejected
+        ("2024-01-02", 20.0, "2024-01-02", "2024-01-03"),
+        ("2024-01-03", 30.0, "2024-01-03", "9999-12-31"),
+    }
