@@ -53,6 +53,11 @@ _CHECK_FIRST = [
     "statcan_revision_analysis",  # new: first-vs-final estimate vintage summary
     "stratified_sample_exact",  # new: exact ceil(10%) per-stratum selection
     "collated_segment_rollup",  # new: Spark-4 COLLATE UTF8_LCASE grouping
+    "er_supplier_name_pairs",  # new: FastSS deletion-neighborhood entity resolution
+    "session_top_paths",  # new: session journey mining (top event-type paths)
+    "user_weekly_survival",  # new: discrete cohort survival curve
+    "join_key_skew_report",  # new: pre-shuffle join-key skew diagnostic
+    "events_ewma_daily",  # new: sequential-fold EWMA (bit-identical cross-engine)
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

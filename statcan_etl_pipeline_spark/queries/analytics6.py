@@ -1,0 +1,317 @@
+"""Round-6 batch 2: entity resolution, session path mining, cohort
+survival, join-key skew diagnostics, and sequential-fold EWMA.
+
+House rules as everywhere: exact integer arithmetic before any
+division, pround/sql_round twins for doubles, deterministic tie-breaks,
+windows only over bounded aggregates (never the raw fact table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round as R
+from ..operators.resolution import fastss_pairs
+from ..operators.temporal import sessionize
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Entity resolution: all supplier-name pairs within edit distance 1,
+# generated with FastSS deletion-neighborhood blocking (see
+# operators/resolution.py) — an equi-join on deletion variants, never
+# a cross join. The DuckDB oracle IS the naive quadratic definition
+# (cross join + levenshtein), so parity proves the blocked plan loses
+# no pair. At 100 TB the Spark side's candidate count stays bounded
+# per variant bucket; the oracle's cross join is viable only because
+# oracle inputs are small by design.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_supplier_name_pairs",
+    oracle="""
+SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+       a.s_name AS a_name, b.s_name AS b_name,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+FROM supplier a
+JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY a_id, b_id
+""",
+)
+def er_supplier_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = fastss_pairs(sup, id_col="s_suppkey", name_col="s_name", max_dist=1)
+    return pairs.select(
+        "a_id", "b_id", "a_name", "b_name", F.col("dist").cast("int").alias("dist")
+    ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: the 20 most common event-type journeys per
+# 30-minute-gap session ("view>click>purchase"). Reuses the
+# sessionize operator; the path string is assembled JVM-side with
+# array_sort(collect_list(struct)) + transform — per-session arrays
+# are bounded by session length, and the final top-20 ranks the small
+# (distinct paths) aggregate, not the fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_top_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak=["event_id"])
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort survival curve: fraction of users still active k weeks after
+# their first event (discrete Kaplan-Meier with no censoring — every
+# user's horizon is their own last event). One pass computes each
+# user's max week offset (datediff of min/max day — offsets are
+# monotone in event date, so the extremes suffice); the reverse
+# cumulative count runs over the tiny offset distribution (≤ #weeks
+# rows), never over users. Rates are exact-integer ratios rounded with
+# the portable twins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_weekly_survival",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) / 7) AS BIGINT) AS max_off
+  FROM events GROUP BY user_id
+), dist AS (
+  SELECT max_off, count(*) AS n_users FROM per_user GROUP BY max_off
+), spine AS (
+  SELECT unnest(generate_series(0, (SELECT max(max_off) FROM dist))) AS week_offset
+)
+SELECT s.week_offset,
+       CAST(sum(d.n_users) FILTER (WHERE d.max_off >= s.week_offset) AS BIGINT) AS surviving,
+       {R("CAST(sum(d.n_users) FILTER (WHERE d.max_off >= s.week_offset) AS DOUBLE)"
+          " / (SELECT count(*) FROM per_user)", 6)} AS survival_rate
+FROM spine s CROSS JOIN dist d
+GROUP BY s.week_offset
+ORDER BY s.week_offset
+""",
+)
+def user_weekly_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 7
+        ).alias("max_off")
+    )
+    dist = per_user.groupBy("max_off").agg(F.count(F.lit(1)).alias("n_users"))
+    spine = dist.agg(
+        F.max("max_off").alias("mx"), F.sum("n_users").alias("total")
+    ).select(F.explode(F.sequence(F.lit(0).cast("long"), "mx")).alias("week_offset"), "total")
+    # reverse cumulative count over the ≤#weeks-row distribution — a
+    # bounded-aggregate window, per the house two-pass pattern
+    joined = spine.join(dist, spine.week_offset == dist.max_off, "left").select(
+        "week_offset", "total", F.coalesce("n_users", F.lit(0)).alias("n_users")
+    )
+    w = W.orderBy(F.desc("week_offset")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        joined.withColumn("surviving", F.sum("n_users").over(w).cast("long"))
+        .select(
+            "week_offset",
+            "surviving",
+            pround(F.col("surviving").cast("double") / F.col("total"), 6).alias(
+                "survival_rate"
+            ),
+        )
+        .orderBy("week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report: the pre-flight diagnostic you run BEFORE
+# shuffling 100 TB on a key — rows, distinct keys, the heaviest key
+# and its share, and the max/avg skew ratio for the three hottest join
+# keys in the schema. One groupBy per key (partial-aggregatable) plus
+# a single-row argmax agg via max(struct(cnt, -key)) — deterministic
+# (smallest key wins ties), no windows, no second pass over the fact
+# table. skew_ratio ≫ 1 is the signal to slat/AQE the join.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE_ONE = """
+SELECT '{label}' AS key_name,
+       CAST((SELECT count(*) FROM {tbl}) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_per_key,
+       (SELECT min(k) FROM (SELECT {key} AS k, count(*) AS c FROM {tbl} GROUP BY {key})
+        WHERE c = (SELECT max(c) FROM (SELECT count(*) AS c FROM {tbl} GROUP BY {key}))) AS hot_key,
+       {avg_expr} AS avg_per_key,
+       {skew_expr} AS skew_ratio
+FROM (SELECT {key}, count(*) AS cnt FROM {tbl} GROUP BY {key})
+"""
+
+
+def _skew_oracle(label: str, tbl: str, key: str) -> str:
+    avg = R(f"CAST((SELECT count(*) FROM {tbl}) AS DOUBLE) / count(*)", 4)
+    skew = R(f"CAST(max(cnt) * count(*) AS DOUBLE) / (SELECT count(*) FROM {tbl})", 4)
+    return _SKEW_ORACLE_ONE.format(
+        label=label, tbl=tbl, key=key, avg_expr=avg, skew_expr=skew
+    )
+
+
+@query(
+    "join_key_skew_report",
+    oracle=(
+        _skew_oracle("lineitem.l_partkey", "lineitem", "l_partkey")
+        + " UNION ALL "
+        + _skew_oracle("lineitem.l_suppkey", "lineitem", "l_suppkey")
+        + " UNION ALL "
+        + _skew_oracle("orders.o_custkey", "orders", "o_custkey")
+        + " ORDER BY key_name"
+    ),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(tbl: DataFrame, label: str, key: str) -> DataFrame:
+        cnts = tbl.groupBy(F.col(key).cast("long").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return cnts.agg(
+            F.lit(label).alias("key_name"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_per_key"),
+            # argmax with smallest-key tie-break: struct compare is
+            # lexicographic, -k turns "max key" into "min key"
+            (-F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("nk")))["nk"])
+            .cast("long")
+            .alias("hot_key"),
+            pround(F.sum("cnt").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_per_key"
+            ),
+            pround(
+                (F.max("cnt") * F.count(F.lit(1))).cast("double") / F.sum("cnt"), 4
+            ).alias("skew_ratio"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        one(li, "lineitem.l_partkey", "l_partkey")
+        .unionByName(one(li, "lineitem.l_suppkey", "l_suppkey"))
+        .unionByName(one(od, "orders.o_custkey", "o_custkey"))
+        .orderBy("key_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (alpha = 0.5) of the daily event count per type,
+# emitted as a full series. The recurrence ewma_t = 0.5·ewma_{t-1} +
+# 0.5·x_t is inherently sequential, so both engines run the SAME fold
+# in the SAME order: Spark as an `aggregate` HOF over the
+# array_sort'ed per-type daily series (bounded: one element per
+# calendar day), DuckDB as a recursive CTE stepping day-by-day.
+# Multiplying by 0.5 is exact in IEEE-754 (exponent decrement) and the
+# single addition per step rounds identically in both engines, so the
+# unrounded doubles are bit-identical; pround(6) is belt-and-braces.
+# Per-type state never touches the driver and the fact table is
+# aggregated before any per-day work.
+# ---------------------------------------------------------------------------
+
+_EWMA_SPARK = """
+aggregate(
+  a,
+  named_struct('v', CAST(0.0 AS DOUBLE),
+               'out', CAST(array() AS ARRAY<STRUCT<day: DATE, n: BIGINT, e: DOUBLE>>)),
+  (acc, x) -> named_struct(
+      'v', CASE WHEN size(acc.out) = 0 THEN CAST(x.n AS DOUBLE)
+                ELSE acc.v * 0.5 + CAST(x.n AS DOUBLE) * 0.5 END,
+      'out', array_append(acc.out, named_struct(
+          'day', x.day, 'n', x.n,
+          'e', CASE WHEN size(acc.out) = 0 THEN CAST(x.n AS DOUBLE)
+                    ELSE acc.v * 0.5 + CAST(x.n AS DOUBLE) * 0.5 END))),
+  acc -> acc.out)
+"""
+
+
+@query(
+    "events_ewma_daily",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), ew AS (
+  SELECT event_type, day, n, rn, CAST(n AS DOUBLE) AS e
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.n, i.rn, w.e * 0.5 + CAST(i.n AS DOUBLE) * 0.5
+  FROM ew w JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS daily_n, {R("e", 6)} AS ewma
+FROM ew
+ORDER BY event_type, day
+""",
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_type = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("a")
+    )
+    return (
+        per_type.select("event_type", F.explode(F.expr(_EWMA_SPARK)).alias("s"))
+        .select(
+            "event_type",
+            F.date_format(F.col("s.day"), "yyyy-MM-dd").alias("day"),
+            F.col("s.n").alias("daily_n"),
+            pround(F.col("s.e"), 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )

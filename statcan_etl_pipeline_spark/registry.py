@@ -51,6 +51,7 @@ def _load_all() -> None:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         approx,
         curation,
         dedup,
