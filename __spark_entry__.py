@@ -58,6 +58,10 @@ _CHECK_FIRST = [
     "user_weekly_survival",  # new: discrete cohort survival curve
     "join_key_skew_report",  # new: pre-shuffle join-key skew diagnostic
     "events_ewma_daily",  # new: sequential-fold EWMA (bit-identical cross-engine)
+    "price_index_fisher",  # new: Laspeyres/Paasche/Fisher vs 1995 base basket
+    "customer_value_migration",  # new: two-pass exact-rank quartile migration
+    "events_error_alert_transitions",  # new: integer-threshold alert state machine
+    "orders_backlog_aging",  # new: open-order aging as-of broadcast anchor
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

@@ -315,3 +315,300 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices by ship year (base 1995)
+# — the statistics-agency deflator pipeline. Per (year, part) unit
+# values are exact int64 cent/unit sums; the per-part unit price is
+# rounded to integer cents with ONE portable floor(x+0.5) (int64→
+# double is exact below 2^53 and the quotient is correctly rounded, so
+# both engines agree bit-for-bit); basket sums are integer products
+# accumulated in DECIMAL(38,0)/HUGEINT (no float accumulation
+# anywhere); matched sample = parts present in both base and current
+# year (inner join on the broadcastable base basket). sqrt for Fisher
+# is IEEE-correctly-rounded in both engines.
+# ---------------------------------------------------------------------------
+
+_PI_R = "CAST({n} AS DOUBLE) / CAST({d} AS DOUBLE)"
+
+
+@query(
+    "price_index_fisher",
+    oracle=f"""
+WITH py AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS extc,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY year(l_shipdate), l_partkey
+), up AS (
+  SELECT yr, l_partkey, qty,
+         CAST(floor(CAST(extc AS DOUBLE) / qty + 0.5) AS BIGINT) AS upc
+  FROM py WHERE qty > 0
+), base AS (
+  SELECT l_partkey, qty AS q0, upc AS upc0 FROM up WHERE yr = 1995
+), j AS (
+  SELECT u.yr,
+         sum(u.upc * b.q0) AS numer_l, sum(b.upc0 * b.q0) AS denom_l,
+         sum(u.upc * u.qty) AS numer_p, sum(b.upc0 * u.qty) AS denom_p
+  FROM up u JOIN base b USING (l_partkey)
+  GROUP BY u.yr
+)
+SELECT yr,
+       {R(_PI_R.format(n='numer_l', d='denom_l') + ' * 100.0', 4)} AS laspeyres,
+       {R(_PI_R.format(n='numer_p', d='denom_p') + ' * 100.0', 4)} AS paasche,
+       {R('sqrt((' + R(_PI_R.format(n='numer_l', d='denom_l') + ' * 100.0', 4)
+          + ') * (' + R(_PI_R.format(n='numer_p', d='denom_p') + ' * 100.0', 4) + '))', 4)} AS fisher
+FROM j
+ORDER BY yr
+""",
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").cast("long").alias("yr"), "l_partkey"
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")).alias("extc"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("qty"),
+    )
+    up = py.filter(F.col("qty") > 0).select(
+        "yr",
+        "l_partkey",
+        "qty",
+        F.floor(F.col("extc").cast("double") / F.col("qty") + 0.5)
+        .cast("long")
+        .alias("upc"),
+    )
+    base = up.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("qty").alias("q0"), F.col("upc").alias("upc0")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — overflow-proof sums
+    j = (
+        up.join(F.broadcast(base), "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.sum(dec(F.col("upc") * F.col("q0"))).alias("numer_l"),
+            F.sum(dec(F.col("upc0") * F.col("q0"))).alias("denom_l"),
+            F.sum(dec(F.col("upc") * F.col("qty"))).alias("numer_p"),
+            F.sum(dec(F.col("upc0") * F.col("qty"))).alias("denom_p"),
+        )
+    )
+    lasp = pround(
+        F.col("numer_l").cast("double") / F.col("denom_l").cast("double") * 100.0, 4
+    )
+    paas = pround(
+        F.col("numer_p").cast("double") / F.col("denom_p").cast("double") * 100.0, 4
+    )
+    return (
+        j.select("yr", lasp.alias("laspeyres"), paas.alias("paasche"))
+        .select(
+            "yr",
+            "laspeyres",
+            "paasche",
+            pround(F.sqrt(F.col("laspeyres") * F.col("paasche")), 4).alias("fisher"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer value-quartile migration matrix: quartile by revenue in the
+# early period (≤1997) vs the late period (≥1998), counted over
+# customers active in both. Quartile = 1 + (4·(rank−1)) DIV n with
+# rank = exact global row_number — computed with the house two-pass
+# distributed ranking (range-partition by the sort key, local
+# row_number per shard, shard-count offsets from a tiny broadcast
+# aggregate), NEVER a bare global-ordered window over customers. The
+# oracle uses the same closed-form quartile from a plain row_number,
+# so parity also proves the two-pass rank is exactly the global rank.
+# ---------------------------------------------------------------------------
+
+_MIG_PERIOD = """
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders WHERE {cond} GROUP BY o_custkey
+"""
+
+
+def _mig_ranked(alias: str, cond: str) -> str:
+    return f"""
+{alias}_rev AS ({_MIG_PERIOD.format(cond=cond)}),
+{alias}_n AS (SELECT count(*) AS n FROM {alias}_rev),
+{alias}_q AS (
+  SELECT o_custkey,
+         CAST(1 + (4 * (row_number() OVER (ORDER BY rev_c DESC, o_custkey) - 1))
+              // (SELECT n FROM {alias}_n) AS BIGINT) AS q
+  FROM {alias}_rev
+)"""
+
+
+@query(
+    "customer_value_migration",
+    oracle=f"""
+WITH {_mig_ranked('a', "year(o_orderdate) <= 1997")},
+{_mig_ranked('b', "year(o_orderdate) >= 1998")[1:]}
+SELECT a.q AS from_quartile, b.q AS to_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM a_q a JOIN b_q b USING (o_custkey)
+GROUP BY a.q, b.q
+ORDER BY from_quartile, to_quartile
+""",
+)
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+
+    def quartiles(cond) -> DataFrame:
+        rev = (
+            od.filter(cond)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+                .alias("rev_c")
+            )
+        )
+        n_shards = max(od.sparkSession.sparkContext.defaultParallelism, 2)
+        sharded = (
+            rev.repartitionByRange(n_shards, F.desc("rev_c"), F.asc("o_custkey"))
+            .withColumn("shard", F.spark_partition_id())
+            .localCheckpoint(eager=True)  # pin ONE set of shard boundaries
+        )
+        w_local = W.partitionBy("shard").orderBy(F.desc("rev_c"), "o_custkey")
+        local = sharded.withColumn("local_rn", F.row_number().over(w_local))
+        counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("c"))
+        w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+        offsets = counts.select(
+            "shard",
+            F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+            F.sum("c").over(
+                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ).alias("n"),
+        )
+        return local.join(F.broadcast(offsets), "shard").select(
+            "o_custkey",
+            (1 + (4 * (F.col("off") + F.col("local_rn") - 1)) / F.col("n"))
+            .cast("long")
+            .alias("q"),
+        )
+
+    a = quartiles(F.year("o_orderdate") <= 1997).withColumnRenamed("q", "from_quartile")
+    b = quartiles(F.year("o_orderdate") >= 1998).withColumnRenamed("q", "to_quartile")
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("from_quartile", "to_quartile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("from_quartile", "to_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alerting state machine over the hourly error rate: alert iff
+# errors/total > 25%, emitted ONLY at state transitions (enter/exit).
+# The threshold test is the exact integer comparison 4·err > total (no
+# float compare at the boundary); lag() runs over the bounded hourly
+# aggregate (one row per hour), never the event stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_error_alert_transitions",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+         count(*) AS tot
+  FROM events GROUP BY date_trunc('hour', ts)
+), flagged AS (
+  SELECT hr, err, tot, (4 * err > tot) AS alert,
+         lag(4 * err > tot) OVER (ORDER BY hr) AS prev_alert
+  FROM hourly
+)
+SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(err AS BIGINT) AS err, CAST(tot AS BIGINT) AS tot,
+       {R("CAST(err AS DOUBLE) / tot", 6)} AS error_rate,
+       CASE WHEN alert THEN 'enter' ELSE 'exit' END AS transition
+FROM flagged
+WHERE (prev_alert IS NULL AND alert) OR alert <> prev_alert
+ORDER BY hour_start
+""",
+)
+def events_error_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("err"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    alert = 4 * F.col("err") > F.col("tot")
+    flagged = hourly.select(
+        "hr", "err", "tot", alert.alias("alert")
+    ).withColumn("prev_alert", F.lag("alert").over(W.orderBy("hr")))
+    return (
+        flagged.filter(
+            (F.col("prev_alert").isNull() & F.col("alert"))
+            | (F.col("alert") != F.col("prev_alert"))
+        )
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.col("err").cast("long").alias("err"),
+            F.col("tot").cast("long").alias("tot"),
+            pround(F.col("err").cast("double") / F.col("tot"), 6).alias("error_rate"),
+            F.when(F.col("alert"), "enter").otherwise("exit").alias("transition"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging: open orders bucketed by age as of the latest order
+# date in the data (the "as-of" anchor is a 1-row broadcast aggregate
+# folded into the plan — no separate driver-side count/collect
+# action). Exact cents totals per bucket.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_aging",
+    oracle=f"""
+WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+aged AS (
+  SELECT date_diff('day', o_orderdate, maxd) AS age_days, o_totalprice
+  FROM orders CROSS JOIN anchor
+  WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age_days <= 30 THEN '00-030d'
+            WHEN age_days <= 90 THEN '031-090d'
+            WHEN age_days <= 365 THEN '091-365d'
+            ELSE '366d+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS open_value
+FROM aged
+GROUP BY 1
+ORDER BY age_bucket
+""",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    anchor = od.agg(F.max("o_orderdate").alias("maxd"))
+    aged = (
+        od.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("maxd", "o_orderdate").alias("age_days"), "o_totalprice"
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "00-030d")
+        .when(F.col("age_days") <= 90, "031-090d")
+        .when(F.col("age_days") <= 365, "091-365d")
+        .otherwise("366d+")
+    )
+    return (
+        aged.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+                .cast("double") / 100.0
+            ).alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )

@@ -1,5 +1,6 @@
 """Custom batch connector via the Python Data Source API (Spark 4):
-a StatCan-WDS-shaped CSV reader with byte-range split planning.
+a StatCan-WDS-shaped CSV reader with byte-range split planning, plus
+the WRITE path with the API's two-phase task-commit protocol.
 
 This is the pure-Python connector surface — `partitions()` plans
 Hadoop-style byte splits on the driver, each executor task opens the
@@ -9,6 +10,14 @@ convention: a record belongs to the split containing its first byte;
 a reader finishes the record that crosses its end; the next reader
 discards the partial record it lands in. (Assumes no embedded
 newlines inside quoted fields — true of WDS full-table dumps.)
+
+The writer mirrors the Hadoop output-committer shape: each task writes
+to a UUID-named temp file and returns a WriterCommitMessage; only the
+DRIVER's `commit()` promotes temp files to part files and stamps
+`_SUCCESS`, so a failed/speculative task's output is never visible and
+`abort()` leaves the target clean. Readers trust only `_SUCCESS`-listed
+files. (Local-FS rename here; on an object store the same protocol
+holds with copy+delete or a manifest commit.)
 """
 
 from __future__ import annotations
@@ -16,9 +25,17 @@ from __future__ import annotations
 import csv
 import io
 import os
+import uuid
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 WDS_PY_SCHEMA = (
     "ref_date string, geo string, vector string, coordinate string, "
@@ -73,6 +90,82 @@ class WdsCsvReader(DataSourceReader):
                 yield (vals[0], vals[1], vals[2], vals[3], value, vals[5])
 
 
+@dataclass
+class _CsvCommit(WriterCommitMessage):
+    temp_path: str
+    n_rows: int
+
+
+class WdsCsvWriter(DataSourceWriter):
+    """Task side writes WDS-shaped CSV to `_temporary/<uuid>.csv`;
+    driver-side commit renames each temp file to `part-NNNNN.csv` and
+    writes `_SUCCESS` listing the committed parts. Temp files from
+    failed attempts are invisible to readers and swept by abort()."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        if "path" not in options:
+            raise ValueError("wds_py sink requires .option('path', ...)")
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _CsvCommit:
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w", newline="", encoding="utf-8") as f:
+            w = csv.writer(f)
+            w.writerow(_COLS)
+            for row in iterator:
+                w.writerow(
+                    ["" if v is None else v for v in (
+                        row.ref_date, row.geo, row.vector,
+                        row.coordinate, row.value, row.status,
+                    )]
+                )
+                n += 1
+        return _CsvCommit(temp_path=tmp, n_rows=n)
+
+    def commit(self, messages: Sequence[_CsvCommit]) -> None:
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.startswith("part-") or old == "_SUCCESS":
+                    os.remove(os.path.join(self.path, old))
+        parts = []
+        for i, m in enumerate(messages):
+            part = f"part-{i:05d}.csv"
+            os.replace(m.temp_path, os.path.join(self.path, part))
+            parts.append(part)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
+            f.write("\n".join(parts))
+        self._sweep_temp()
+
+    def abort(self, messages: Sequence[_CsvCommit]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+        self._sweep_temp()
+
+    def _sweep_temp(self) -> None:
+        tmp_dir = os.path.join(self.path, "_temporary")
+        if os.path.isdir(tmp_dir):
+            for leftover in os.listdir(tmp_dir):
+                os.remove(os.path.join(tmp_dir, leftover))
+            os.rmdir(tmp_dir)
+
+
+def read_committed_wds_csv(spark, path: str):
+    """Read back a WdsCsvWriter dataset trusting ONLY `_SUCCESS`-listed
+    part files — uncommitted/aborted leftovers are never read."""
+    with open(os.path.join(path, "_SUCCESS"), encoding="utf-8") as f:
+        parts = [p for p in f.read().splitlines() if p]
+    return (
+        spark.read.schema(WDS_PY_SCHEMA)
+        .option("header", "true")
+        .csv([os.path.join(path, p) for p in parts])
+    )
+
+
 class WdsCsvDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -83,3 +176,6 @@ class WdsCsvDataSource(DataSource):
 
     def reader(self, schema) -> WdsCsvReader:
         return WdsCsvReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> WdsCsvWriter:
+        return WdsCsvWriter(dict(self.options), overwrite)

@@ -314,3 +314,50 @@ def test_xml_roundtrip_with_explicit_schema(spark, sf_small):
         got = {(int(r[0]), r[1]) for r in back.collect()}
         want = {(int(r[0]), r[1]) for r in nat.collect()}
         assert got == want
+
+
+def test_python_datasource_wds_writer_two_phase_commit(spark):
+    """Python Data Source WRITE path (Spark 4): task outputs land in
+    _temporary, only driver commit() promotes them to part files +
+    _SUCCESS; stray uncommitted files are swept and never read back;
+    overwrite replaces prior parts, append accumulates."""
+    from statcan_etl_pipeline_spark.sources.pyds import (
+        WdsCsvDataSource,
+        read_committed_wds_csv,
+    )
+
+    spark.dataSource.register(WdsCsvDataSource)
+    rows1 = [(f"2024-0{i % 9 + 1}", f"Geo{i}", f"v{i:08d}", "1.1.1",
+              float(i) + 0.5, "") for i in range(20)]
+    rows2 = [("2025-01", "GeoX", "v99999999", "2.2.2", 7.25, "E")]
+    sch = ("ref_date string, geo string, vector string, coordinate string, "
+           "value double, status string")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "out")
+        os.makedirs(os.path.join(p, "_temporary"))
+        stray = os.path.join(p, "_temporary", "deadbeef.csv")
+        with open(stray, "w") as fh:
+            fh.write("REF_DATE\nGARBAGE\n")  # simulated failed attempt
+        df1 = spark.createDataFrame(rows1, sch).repartition(3)
+        df1.write.format("wds_py").option("path", p).mode("overwrite").save()
+        assert not os.path.exists(os.path.join(p, "_temporary"))
+        committed = open(os.path.join(p, "_SUCCESS")).read().splitlines()
+        assert len(committed) == 3
+        back = read_committed_wds_csv(spark, p)
+        assert {(r["vector"], r["value"]) for r in back.collect()} == {
+            (v, val) for _, _, v, _, val, _ in rows1
+        }
+        # append adds one more committed generation... overwrite replaces
+        spark.createDataFrame(rows2, sch).write.format("wds_py").option(
+            "path", p
+        ).mode("overwrite").save()
+        back2 = read_committed_wds_csv(spark, p)
+        assert {(r["vector"], r["value"]) for r in back2.collect()} == {
+            ("v99999999", 7.25)
+        }
+        # NULL value survives the round trip as NULL
+        spark.createDataFrame(
+            [("2025-02", "G", "vnull0000", "3", None, "X")], sch
+        ).write.format("wds_py").option("path", p).mode("overwrite").save()
+        r = read_committed_wds_csv(spark, p).collect()[0]
+        assert r["value"] is None and r["vector"] == "vnull0000"
