@@ -62,6 +62,8 @@ _CHECK_FIRST = [
     "customer_value_migration",  # new: two-pass exact-rank quartile migration
     "events_error_alert_transitions",  # new: integer-threshold alert state machine
     "orders_backlog_aging",  # new: open-order aging as-of broadcast anchor
+    "minhash_jaccard_calibration",  # new: sketch est-vs-exact Jaccard audit
+    "nation_trade_balance",  # new: bilateral flow matrix, symmetric-key fold
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

@@ -612,3 +612,79 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bilateral trade-balance matrix: revenue flows supplier-nation →
+# customer-nation, folded to unordered nation pairs with both
+# directional flows and the net balance — the StatCan international-
+# accounts shape. Dimension joins broadcast; the symmetric fold is
+# least/greatest keying inside ONE aggregation over the flow fact (no
+# self-join of the matrix). Exact cents throughout.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+WITH flows AS (
+  SELECT ns.n_name AS from_nation, nc.n_name AS to_nation,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS c
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  GROUP BY ns.n_name, nc.n_name
+)
+SELECT least(from_nation, to_nation) AS nation_a,
+       greatest(from_nation, to_nation) AS nation_b,
+       CAST(sum(CASE WHEN from_nation = least(from_nation, to_nation) THEN c ELSE 0 END) AS DOUBLE) / 100.0 AS a_to_b,
+       CAST(sum(CASE WHEN from_nation = greatest(from_nation, to_nation) THEN c ELSE 0 END) AS DOUBLE) / 100.0 AS b_to_a,
+       CAST(sum(CASE WHEN from_nation = least(from_nation, to_nation) THEN c ELSE -c END) AS DOUBLE) / 100.0 AS net_a
+FROM flows
+WHERE from_nation <> to_nation
+GROUP BY least(from_nation, to_nation), greatest(from_nation, to_nation)
+ORDER BY nation_a, nation_b
+""",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("long")
+    flows = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su.select("s_suppkey", "s_nationkey")), li.l_suppkey == su.s_suppkey)
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("from_nation"))),
+            su.s_nationkey == F.col("sk"),
+        )
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("to_nation"))),
+            cu.c_nationkey == F.col("ck"),
+        )
+        .groupBy("from_nation", "to_nation")
+        .agg(F.sum(rev_c).alias("c"))
+    )
+    lo = F.least("from_nation", "to_nation")
+    hi = F.greatest("from_nation", "to_nation")
+    out_flow = F.when(F.col("from_nation") == lo, F.col("c")).otherwise(0)
+    in_flow = F.when(F.col("from_nation") == hi, F.col("c")).otherwise(0)
+    net = F.when(F.col("from_nation") == lo, F.col("c")).otherwise(-F.col("c"))
+    return (
+        flows.filter(F.col("from_nation") != F.col("to_nation"))
+        .groupBy(lo.alias("nation_a"), hi.alias("nation_b"))
+        .agg(
+            (F.sum(out_flow).cast("double") / 100.0).alias("a_to_b"),
+            (F.sum(in_flow).cast("double") / 100.0).alias("b_to_a"),
+            (F.sum(net).cast("double") / 100.0).alias("net_a"),
+        )
+        .orderBy("nation_a", "nation_b")
+    )

@@ -472,3 +472,86 @@ def dedup_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: for every LSH candidate pair, the ESTIMATED
+# Jaccard (fraction of agreeing signature components — the number the
+# sketch is betting on) against the EXACT char-5-gram Jaccard. This is
+# the sketch-quality audit a production dedup pipeline runs before
+# trusting a τ threshold at corpus scale. The exact side joins the
+# small candidate-pair set to per-doc shingle SETS (arrays bounded by
+# doc length, per-row intersect/union — the quadratic join happens
+# only on the already-bounded candidates, never all pairs). n_match/8
+# and common/union are exact-int divisions → identical doubles both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_sql() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)"
+        for k in range(N_HASHES)
+    )
+    return f"""
+WITH {_mh_pairs_ctes()},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+), agree AS (
+  SELECT p.doc_a, p.doc_b, ({agree}) AS n_match
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT g.doc_a, g.doc_b, CAST(g.n_match AS BIGINT) AS n_match,
+       {R(f"CAST(g.n_match AS DOUBLE) / {N_HASHES}", 6)} AS est_jaccard,
+       {R("CAST(coalesce(c.common, 0) AS DOUBLE)"
+          " / (ca.n + cb.n - coalesce(c.common, 0))", 6)} AS exact_jaccard
+FROM agree g
+LEFT JOIN common c ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+JOIN counts ca ON ca.doc_id = g.doc_a
+JOIN counts cb ON cb.doc_id = g.doc_b
+ORDER BY g.doc_a, g.doc_b
+"""
+
+
+@query("minhash_jaccard_calibration", oracle=_calibration_sql())
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    shingled = exploded_shingles(docs)
+    sig = minhash_signature(shingled, N_HASHES)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
+    n_match = sum(
+        F.when(F.col(f"a.mh_{k}") == F.col(f"b.mh_{k}"), 1).otherwise(0)
+        for k in range(N_HASHES)
+    )
+    sets = docs.select(
+        "doc_id", F.array_distinct("shingles").alias("shs")
+    ).withColumn("n", F.size("shs"))
+    common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    return (
+        pairs.join(sig.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(sig.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", n_match.cast("long").alias("n_match"))
+        .join(sets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sets.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            pround(F.col("n_match").cast("double") / N_HASHES, 6).alias("est_jaccard"),
+            pround(
+                common.cast("double") / (F.col("sa.n") + F.col("sb.n") - common), 6
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
