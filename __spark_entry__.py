@@ -64,6 +64,13 @@ _CHECK_FIRST = [
     "orders_backlog_aging",  # new: open-order aging as-of broadcast anchor
     "minhash_jaccard_calibration",  # new: sketch est-vs-exact Jaccard audit
     "nation_trade_balance",  # new: bilateral flow matrix, symmetric-key fold
+    "statcan_cell_suppression",  # new: disclosure-control count+dominance rules
+    "statcan_cv_quality_grades",  # new: CV letter grades, exact-integer boundaries
+    "statcan_calendarization",  # new: interval→month proration (temporal disagg)
+    "ngram_pmi_collocations",  # new: PMI-lift bigram collocations
+    "business_day_ship_latency",  # new: closed-form weekday interval math
+    "events_cusum_drift",  # new: integer CUSUM change-point fold
+    "events_autocorr_lags",  # new: calendar-aligned lag autocorrelation
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

@@ -52,6 +52,7 @@ def _load_all() -> None:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         approx,
         curation,
         dedup,
