@@ -71,6 +71,15 @@ _CHECK_FIRST = [
     "business_day_ship_latency",  # new: closed-form weekday interval math
     "events_cusum_drift",  # new: integer CUSUM change-point fold
     "events_autocorr_lags",  # new: calendar-aligned lag autocorrelation
+    "ks_order_value_by_priority",  # new: exact-integer two-sample KS distance
+    "mwu_order_value_segments",  # new: Mann-Whitney U / AUC, midrank-exact
+    "anova_order_value_by_priority",  # new: ANOVA F from ordered-fold moments
+    "interdoc_chunk_dedup",  # new: cross-doc repeated 8-token chunk scan
+    "embedding_dim_stats",  # new: per-dimension quantizer calibration stats
+    "statcan_denton_prorata",  # new: pro-rata temporal benchmarking
+    "statcan_x11_trend",  # new: 2x12 centered MA trend, calendar-aligned
+    "holt_linear_daily",  # new: Holt level+trend sequential fold
+    "seasonal_naive_backtest",  # new: lag-7 backtest scorecard
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

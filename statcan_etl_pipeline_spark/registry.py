@@ -55,6 +55,7 @@ def _load_all() -> None:
         analytics7,
         approx,
         curation,
+        curation2,
         dedup,
         embeddings,
         etl,
@@ -64,8 +65,10 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        seasonal,
         similarity,
         spark4,
+        stats,
         temporal,
         text,
     )
