@@ -154,3 +154,34 @@ def ingest_binary_files(
     if with_digest:
         cols.append(F.md5(F.col("content")).alias("digest"))
     return raw.select(*cols)
+
+
+_MAGIC = [
+    ("image/png", bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+    ("image/jpeg", bytes([0xFF, 0xD8, 0xFF])),
+    ("image/gif", b"GIF8"),
+    ("audio/wav", b"RIFF"),
+    ("video/mp4_ftyp", b"ftyp"),  # matched at offset 4, see below
+    ("application/pdf", b"%PDF"),
+]
+
+
+def sniff_media_kind(col):
+    """Magic-bytes MIME sniffing on a binary column — pure JVM-side
+    expressions (substring on binary + equality against byte
+    literals), no Python in the hot path. Unknown prefixes map to
+    'application/octet-stream'. MP4 is special-cased: its 'ftyp'
+    brand lives at byte offset 5 (after the box length)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.lit("application/octet-stream")
+    # build the CASE chain in reverse so earlier entries win
+    for kind, magic in reversed(_MAGIC):
+        if kind == "video/mp4_ftyp":
+            cond = F.substring(c, 5, 4) == F.lit(b"ftyp")
+            kind = "video/mp4"
+        else:
+            cond = F.substring(c, 1, len(magic)) == F.lit(magic)
+        expr = F.when(cond, F.lit(kind)).otherwise(expr)
+    return expr

@@ -174,3 +174,129 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("mn"), 6).alias("vmin"),
         pround(F.col("mx"), 6).alias("vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge discovery (first 3 merges), computed distributively — the
+# tokenizer-training primitive. BPE iterates on the WORD-FREQUENCY
+# table, not the corpus: vocab rows are (word, count, spelled-out
+# symbol string), pair frequencies are a weighted bigram explode over
+# the bounded vocabulary, the winning pair is an ordered LIMIT 1
+# (TakeOrdered with a lexical tie-break), and the merge itself is a
+# space-delimited string replace (left-to-right non-overlapping in
+# both engines — the greedy-left BPE convention). Three fixed
+# iterations chained lazily; the winner is broadcast into the next
+# pass, so nothing but the 1-row argmax ever leaves the executors.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(iters: int = 3) -> str:
+    spell = (
+        "array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS BIGINT), 1)), ' ')"
+    )
+    parts = [
+        f"""
+WITH vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split({sql_norm_text("text")}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) >= 1
+  GROUP BY word
+), v0 AS (
+  SELECT word, wc, {spell} AS s FROM vocab
+)"""
+    ]
+    prev = "v0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", pc{k} AS (
+  SELECT ss[i] || ' ' || ss[i + 1] AS p, CAST(sum(wc) AS BIGINT) AS c
+  FROM (SELECT string_split(s, ' ') AS ss, wc FROM {prev}
+        WHERE len(string_split(s, ' ')) >= 2),
+       unnest(range(1, len(ss))) AS t(i)
+  GROUP BY p
+), t{k} AS (
+  SELECT p, c FROM pc{k} ORDER BY c DESC, p LIMIT 1
+), v{k} AS (
+  SELECT v.word, v.wc,
+         trim(replace(' ' || v.s || ' ', ' ' || t.p || ' ',
+                      ' ' || replace(t.p, ' ', '') || ' ')) AS s
+  FROM {prev} v, t{k} t
+)"""
+        )
+        prev = f"v{k}"
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, p AS pair, "
+        f"replace(p, ' ', '') AS merged, c AS pair_count FROM t{k}"
+        for k in range(1, iters + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+@query("corpus_bpe_merges", oracle=_bpe_oracle())
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        norm_text("text").alias("norm")
+    )
+    vocab = (
+        docs.select(F.explode(F.split("norm", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    v = vocab.withColumn(
+        "s",
+        F.expr(
+            "array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), ' ')"
+        ),
+    ).select("word", "wc", "s")
+
+    tops = []
+    for k in range(1, 4):
+        ss = F.split("s", " ")
+        pairs = (
+            v.filter(F.size(ss) >= 2)
+            .select(
+                F.col("wc"),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(s, ' ')) - 1), "
+                        "i -> concat(element_at(split(s, ' '), i), ' ', "
+                        "element_at(split(s, ' '), i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").cast("long").alias("c"))
+        )
+        top1 = pairs.orderBy(F.desc("c"), F.asc("p")).limit(1)
+        tops.append(
+            top1.select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("p").alias("pair"),
+                F.replace(F.col("p"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        v = v.crossJoin(F.broadcast(top1)).select(
+            "word",
+            "wc",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("p"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("p"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("s"),
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("step")

@@ -555,3 +555,98 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (round 6): the number every dedup pipeline must
+# publish before anyone trusts it — per SOURCE, how many documents and
+# how many TOKENS would near-dup dedup remove? Composition of the
+# existing scale path end-to-end: MinHash-LSH candidates → label-prop
+# components → keep the component representative (min doc_id), drop
+# the rest; token counts from the same normalized text. The recursive
+# reachability oracle makes this full-pipeline aggregate hash-checked
+# (not rows-only) just like dedup_connected_groups.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_token_savings_by_source",
+    oracle=f"""
+WITH RECURSIVE {{CTES}},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach (doc_id, r) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+rep AS (
+  SELECT doc_id, min(r) AS group_rep FROM reach GROUP BY doc_id
+),
+tok AS (
+  SELECT b.doc_id, d.source,
+         CAST(len(string_split(b.norm, ' ')) AS BIGINT) AS n_tok
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r.group_rep <> r.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(t.n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN r.group_rep <> r.doc_id THEN t.n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_dropped,
+       {{PCT}} AS savings_pct
+FROM tok t JOIN rep r ON t.doc_id = r.doc_id
+GROUP BY t.source
+ORDER BY t.source
+""".replace("{CTES}", _mh_pairs_ctes()).replace(
+        "{PCT}",
+        R(
+            "CAST(sum(CASE WHEN r.group_rep <> r.doc_id THEN t.n_tok ELSE 0 END)"
+            " AS DOUBLE) / CAST(sum(t.n_tok) AS DOUBLE)",
+            6,
+        ),
+    ),
+)
+def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    shingled = exploded_shingles(docs)
+    sig = minhash_signature(shingled, N_HASHES)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm_text("text"), " ")).cast("long").alias("n_tok"),
+    )
+    dropped = F.when(F.col("component") != F.col("vertex"), 1).otherwise(0)
+    return (
+        tok.join(
+            comp.select(F.col("vertex"), F.col("component")),
+            tok.doc_id == F.col("vertex"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("component") != F.col("vertex"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+            pround(
+                F.sum(
+                    F.when(F.col("component") != F.col("vertex"), F.col("n_tok")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("savings_pct"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,177 @@
+"""Diversified retrieval: Maximal Marginal Relevance (MMR) re-ranking
+over the brute-force candidate pool — the dedup-aware top-k a RAG /
+training-data retrieval stack serves (don't return 5 near-copies).
+
+score(c) = 0.7·rel(q,c) − 0.3·max_{s∈S} sim(c,s), greedily for 5
+steps over a 12-candidate pool per query.
+
+Spark-first shape: candidate generation is the knn broadcast join +
+bounded per-query window; the candidate×candidate sim matrix is a
+per-query self-join (12×11 rows/query — bounded, never corpus
+pairwise). The greedy selection is inherently sequential, so each of
+the 5 steps runs as a distributed argmax over the bounded candidate
+frame, with ONLY the chosen (query, winner) ids collected per step —
+O(k·n_queries) driver state, the k-means precedent.
+
+Cross-engine exactness: rel and sim are 6-dp-rounded cosines from
+int64 fixed-point dots (identical doubles both engines); scores are
+rounded before the argmax so selection order, ties included
+(broken by smallest cid), is engine-exact. The DuckDB oracle unrolls
+the SAME five steps as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round as R
+from ..functions.vectors import cosine, sql_cosine
+from ..registry import query
+
+_N_QUERIES = 5
+_POOL = 12
+_K_SEL = 5
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"""
+WITH cand0 AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         {R(sql_cosine("q.embedding", "c.embedding"), 6)} AS rel,
+         c.embedding AS ce
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+), cand AS (
+  SELECT qid, cid, rel, ce FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+    FROM cand0)
+  WHERE rk <= {_POOL}
+), pairs AS (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         {R(sql_cosine("a.ce", "b.ce"), 6)} AS sim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+), sel1 AS (
+  SELECT qid, cid, rel, score, CAST(1 AS BIGINT) AS step FROM (
+    SELECT qid, cid, rel, {R("0.7 * rel - 0.3 * 0.0", 6)} AS score,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY {R("0.7 * rel - 0.3 * 0.0", 6)} DESC, cid) AS rk
+    FROM cand)
+  WHERE rk = 1
+), selc1 AS (SELECT qid, cid FROM sel1)"""
+    ]
+    for k in range(2, _K_SEL + 1):
+        parts.append(
+            f""", div{k} AS (
+  SELECT p.qid, p.ca AS cid, max(p.sim) AS dv
+  FROM pairs p JOIN selc{k - 1} s ON p.qid = s.qid AND p.cb = s.cid
+  GROUP BY p.qid, p.ca
+), sc{k} AS (
+  SELECT c.qid, c.cid, c.rel, {R("0.7 * c.rel - 0.3 * d.dv", 6)} AS score
+  FROM cand c JOIN div{k} d ON c.qid = d.qid AND c.cid = d.cid
+  WHERE NOT EXISTS (SELECT 1 FROM selc{k - 1} s
+                    WHERE s.qid = c.qid AND s.cid = c.cid)
+), sel{k} AS (
+  SELECT qid, cid, rel, score, CAST({k} AS BIGINT) AS step FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+    FROM sc{k})
+  WHERE rk = 1
+), selc{k} AS (SELECT qid, cid FROM selc{k - 1} UNION ALL SELECT qid, cid FROM sel{k})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT qid, step, cid, rel, score FROM sel{k}" for k in range(1, _K_SEL + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({union}) ORDER BY qid, step")
+    return "".join(parts)
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    wrk = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    cand = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            pround(cosine("qe", "embedding"), 6).alias("rel"),
+            F.col("embedding").alias("ce"),
+        )
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _POOL)
+        .drop("rk")
+        .cache()
+    )
+    a = cand.select("qid", F.col("cid").alias("ca"), F.col("ce").alias("ae"))
+    b = cand.select(
+        F.col("qid").alias("qid_b"), F.col("cid").alias("cb"), F.col("ce").alias("be")
+    )
+    pairs = (
+        a.join(b, (F.col("qid") == F.col("qid_b")) & (F.col("ca") != F.col("cb")))
+        .select("qid", "ca", "cb", pround(cosine("ae", "be"), 6).alias("sim"))
+        .cache()
+    )
+
+    wsel = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    step1 = (
+        cand.select(
+            "qid",
+            "cid",
+            "rel",
+            pround(F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.lit(0.0), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wsel))
+        .filter(F.col("rk") == 1)
+        .select("qid", "cid", "rel", "score")
+    )
+    out = [
+        (int(r["qid"]), 1, int(r["cid"]), float(r["rel"]), float(r["score"]))
+        for r in step1.collect()
+    ]
+    selected = [(r[0], r[2]) for r in out]
+    for step in range(2, _K_SEL + 1):
+        sel_df = spark.createDataFrame(selected, "sqid long, scid long")
+        div = (
+            pairs.join(
+                F.broadcast(sel_df),
+                (F.col("qid") == F.col("sqid")) & (F.col("cb") == F.col("scid")),
+            )
+            .groupBy("qid", "ca")
+            .agg(F.max("sim").alias("dv"))
+            .select("qid", F.col("ca").alias("cid"), "dv")
+        )
+        rem = cand.join(
+            F.broadcast(sel_df),
+            (F.col("qid") == F.col("sqid")) & (F.col("cid") == F.col("scid")),
+            "left_anti",
+        )
+        winners = (
+            rem.join(div, ["qid", "cid"])
+            .select(
+                "qid",
+                "cid",
+                "rel",
+                pround(F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("dv"), 6).alias(
+                    "score"
+                ),
+            )
+            .withColumn("rk", F.row_number().over(wsel))
+            .filter(F.col("rk") == 1)
+            .select("qid", "cid", "rel", "score")
+            .collect()
+        )
+        for r in winners:
+            out.append(
+                (int(r["qid"]), step, int(r["cid"]), float(r["rel"]), float(r["score"]))
+            )
+            selected.append((int(r["qid"]), int(r["cid"])))
+    return spark.createDataFrame(
+        sorted(out), "qid long, step long, cid long, rel double, score double"
+    )

@@ -1,0 +1,412 @@
+"""Survey-methodology operators: iterative proportional fitting
+(raking) of sample weights to population margins — the calibration
+step every statistics agency runs between collection and publication —
+and an 8-step Markov-chain distribution over event-type transitions.
+
+Cross-engine exactness: weights and probability masses are quantized
+to fixed point (micro / nano integer units) after EVERY multiplicative
+update, so all sums are exact integers and every ratio is a division
+of identical inputs — the iteration is deterministic to the last bit
+in both engines. Iteration counts are fixed, so the whole computation
+stays ONE lazy plan (chained joins over bounded margin tables — no
+driver loop, no collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_round as R
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Raking: a deterministic ~30% customer sample (md5 hex threshold —
+# engine-portable, stable under data growth) starts at design weight
+# 10/3 and is calibrated by three IPF passes (region, segment,
+# region) to full-population region and segment counts. Weights are
+# re-quantized to 1e-6 fixed point after each pass, so group sums are
+# exact integers. Output: both margins with target vs achieved counts
+# after the final pass — region gaps ≈ 0 (just calibrated), segment
+# gaps show the residual IPF misfit.
+# ---------------------------------------------------------------------------
+
+_W0_MICRO = 3_333_333  # 10/3 design weight in micro units (30% sample)
+
+
+def _sql_q6(x: str) -> str:
+    """Non-negative micro quantizer (weights are always positive)."""
+    return f"CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "survey_raking_calibration",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment AS segment, r.r_name AS region,
+         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '4d' AS in_sample
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), tr AS (
+  SELECT region, CAST(count(*) AS BIGINT) AS target_n FROM cust GROUP BY region
+), ts AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS target_n FROM cust GROUP BY segment
+), s0 AS (
+  SELECT c_custkey, segment, region, CAST({_W0_MICRO} AS BIGINT) AS w
+  FROM cust WHERE in_sample
+), r1 AS (
+  SELECT region, CAST(sum(w) AS BIGINT) AS sw FROM s0 GROUP BY region
+), s1 AS (
+  SELECT s.c_custkey, s.segment, s.region,
+         CASE WHEN r.sw > 0 THEN {_sql_q6(
+             "CAST(s.w AS DOUBLE) / 1000000.0"
+             " * (CAST(t.target_n AS DOUBLE) * 1000000.0 / CAST(r.sw AS DOUBLE))")}
+              ELSE s.w END AS w
+  FROM s0 s JOIN r1 r ON s.region = r.region JOIN tr t ON s.region = t.region
+), g2 AS (
+  SELECT segment, CAST(sum(w) AS BIGINT) AS sw FROM s1 GROUP BY segment
+), s2 AS (
+  SELECT s.c_custkey, s.segment, s.region,
+         CASE WHEN g.sw > 0 THEN {_sql_q6(
+             "CAST(s.w AS DOUBLE) / 1000000.0"
+             " * (CAST(t.target_n AS DOUBLE) * 1000000.0 / CAST(g.sw AS DOUBLE))")}
+              ELSE s.w END AS w
+  FROM s1 s JOIN g2 g ON s.segment = g.segment JOIN ts t ON s.segment = t.segment
+), r3 AS (
+  SELECT region, CAST(sum(w) AS BIGINT) AS sw FROM s2 GROUP BY region
+), s3 AS (
+  SELECT s.c_custkey, s.segment, s.region,
+         CASE WHEN r.sw > 0 THEN {_sql_q6(
+             "CAST(s.w AS DOUBLE) / 1000000.0"
+             " * (CAST(t.target_n AS DOUBLE) * 1000000.0 / CAST(r.sw AS DOUBLE))")}
+              ELSE s.w END AS w
+  FROM s2 s JOIN r3 r ON s.region = r.region JOIN tr t ON s.region = t.region
+), m AS (
+  SELECT 'region' AS margin, region AS level, CAST(sum(w) AS BIGINT) AS achieved_micro,
+         CAST(count(*) AS BIGINT) AS n_sample
+  FROM s3 GROUP BY region
+  UNION ALL
+  SELECT 'segment', segment, CAST(sum(w) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM s3 GROUP BY segment
+), t AS (
+  SELECT 'region' AS margin, region AS level, target_n FROM tr
+  UNION ALL
+  SELECT 'segment', segment, target_n FROM ts
+)
+SELECT t.margin, t.level, t.target_n,
+       CAST(coalesce(m.n_sample, 0) AS BIGINT) AS n_sample,
+       {R("CAST(coalesce(m.achieved_micro, 0) AS DOUBLE) / 1000000.0", 4)} AS achieved,
+       {R("CAST(coalesce(m.achieved_micro, 0) AS DOUBLE) / 1000000.0"
+          " - CAST(t.target_n AS DOUBLE)", 4)} AS gap
+FROM t LEFT JOIN m ON t.margin = m.margin AND t.level = m.level
+ORDER BY t.margin, t.level
+""",
+)
+def survey_raking_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+            (
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "4d"
+            ).alias("in_sample"),
+        )
+    )
+    tr = base.groupBy("region").agg(F.count(F.lit(1)).cast("long").alias("target_r"))
+    ts = base.groupBy("segment").agg(F.count(F.lit(1)).cast("long").alias("target_s"))
+    s = base.filter("in_sample").select(
+        "c_custkey", "segment", "region", F.lit(_W0_MICRO).cast("long").alias("w")
+    )
+
+    def q6(x):  # non-negative micro quantizer (Spark twin of _sql_q6)
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    def rake(df: DataFrame, dim: str, targets: DataFrame, tcol: str) -> DataFrame:
+        sums = df.groupBy(dim).agg(F.sum("w").cast("long").alias("sw"))
+        ratio = (
+            F.col(tcol).cast("double") * F.lit(1e6) / F.col("sw").cast("double")
+        )
+        return (
+            df.join(F.broadcast(sums), dim)
+            .join(F.broadcast(targets), dim)
+            .select(
+                "c_custkey",
+                "segment",
+                "region",
+                F.when(
+                    F.col("sw") > 0,
+                    q6(F.col("w").cast("double") / F.lit(1e6) * ratio),
+                )
+                .otherwise(F.col("w"))
+                .alias("w"),
+            )
+        )
+
+    s = rake(s, "region", tr, "target_r")
+    s = rake(s, "segment", ts, "target_s")
+    s = rake(s, "region", tr, "target_r")
+
+    m = (
+        s.groupBy("region")
+        .agg(
+            F.sum("w").cast("long").alias("achieved_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+        )
+        .select(
+            F.lit("region").alias("margin"),
+            F.col("region").alias("level"),
+            "achieved_micro",
+            "n_sample",
+        )
+        .unionByName(
+            s.groupBy("segment")
+            .agg(
+                F.sum("w").cast("long").alias("achieved_micro"),
+                F.count(F.lit(1)).cast("long").alias("n_sample"),
+            )
+            .select(
+                F.lit("segment").alias("margin"),
+                F.col("segment").alias("level"),
+                "achieved_micro",
+                "n_sample",
+            )
+        )
+    )
+    t = (
+        tr.select(
+            F.lit("region").alias("margin"),
+            F.col("region").alias("level"),
+            F.col("target_r").alias("target_n"),
+        )
+        .unionByName(
+            ts.select(
+                F.lit("segment").alias("margin"),
+                F.col("segment").alias("level"),
+                F.col("target_s").alias("target_n"),
+            )
+        )
+    )
+    ach = F.coalesce(F.col("achieved_micro"), F.lit(0)).cast("double") / F.lit(1e6)
+    return (
+        t.join(m, ["margin", "level"], "left")
+        .select(
+            "margin",
+            "level",
+            "target_n",
+            F.coalesce(F.col("n_sample"), F.lit(0)).cast("long").alias("n_sample"),
+            pround(ach, 4).alias("achieved"),
+            pround(ach - F.col("target_n").cast("double"), 4).alias("gap"),
+        )
+        .orderBy("margin", "level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8-step Markov-chain distribution over the event-type transition
+# matrix (lag-pairs per user), started uniform. Masses are nano-unit
+# integers re-quantized after every π·P step (per-term
+# floor(π_i·c_ij/c_i + 0.5) from exact integer inputs), so each step
+# is a join + exact integer aggregation over the bounded K×K matrix —
+# no driver loop, one lazy plan, engine-exact. Types with no incoming
+# transitions keep an explicit zero row (left join onto the type
+# list), so mass bookkeeping is identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _markov_oracle(iters: int = 8) -> str:
+    parts = [
+        """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), mat AS (
+  SELECT prev AS i, cur AS j, CAST(count(*) AS BIGINT) AS c_ij
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+), rowsum AS (
+  SELECT i, CAST(sum(c_ij) AS BIGINT) AS c_i FROM mat GROUP BY i
+), types AS (
+  SELECT DISTINCT event_type AS t FROM events
+), k AS (
+  SELECT CAST(count(*) AS BIGINT) AS kk FROM types
+), pi0 AS (
+  SELECT t, CAST(floor(1000000000.0 / CAST((SELECT kk FROM k) AS DOUBLE)) AS BIGINT) AS p
+  FROM types
+)"""
+    ]
+    prev = "pi0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""", agg{it} AS (
+  SELECT m.j AS t,
+         CAST(sum(CAST(floor(CAST(p.p AS DOUBLE) * CAST(m.c_ij AS DOUBLE)
+                             / CAST(r.c_i AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS p
+  FROM {prev} p JOIN mat m ON p.t = m.i JOIN rowsum r ON m.i = r.i
+  GROUP BY m.j
+), pi{it} AS (
+  SELECT ty.t, CAST(coalesce(a.p, 0) AS BIGINT) AS p
+  FROM types ty LEFT JOIN agg{it} a ON ty.t = a.t
+)"""
+        )
+        prev = f"pi{it}"
+    parts.append(
+        f"""
+SELECT p.t AS event_type,
+       CAST(coalesce(r.c_i, 0) AS BIGINT) AS n_outgoing,
+       {R("CAST(p.p AS DOUBLE) / 1000000000.0", 6)} AS pi8
+FROM {prev} p LEFT JOIN rowsum r ON p.t = r.i
+ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(wseq).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    mat = seq.groupBy(F.col("prev").alias("i"), F.col("cur").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_ij")
+    )
+    rowsum = mat.groupBy("i").agg(F.sum("c_ij").cast("long").alias("c_i"))
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    kk = types.agg(F.count(F.lit(1)).cast("long").alias("kk"))
+    pi = types.crossJoin(F.broadcast(kk)).select(
+        "t",
+        F.floor(F.lit(1e9) / F.col("kk").cast("double")).cast("long").alias("p"),
+    )
+    mat_r = mat.join(F.broadcast(rowsum), "i")
+    for _ in range(8):
+        term = F.floor(
+            F.col("p").cast("double")
+            * F.col("c_ij").cast("double")
+            / F.col("c_i").cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+        agg = (
+            pi.join(F.broadcast(mat_r), pi.t == mat_r.i)
+            .select(F.col("j").alias("t2"), term.alias("term"))
+            .groupBy("t2")
+            .agg(F.sum("term").cast("long").alias("p2"))
+        )
+        pi = types.join(F.broadcast(agg), types.t == F.col("t2"), "left").select(
+            "t", F.coalesce(F.col("p2"), F.lit(0)).cast("long").alias("p")
+        )
+    return (
+        pi.join(F.broadcast(rowsum), pi.t == rowsum.i, "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.coalesce(F.col("c_i"), F.lit(0)).cast("long").alias("n_outgoing"),
+            pround(F.col("p").cast("double") / F.lit(1e9), 6).alias("pi8"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hot-deck imputation audit: a deterministic md5-threshold mask (~5%)
+# simulates item nonresponse on o_totalprice; each masked order is
+# imputed with the DONOR-cell discrete median (actual data value —
+# bit-exact both engines) of its (priority, order year) stratum, and
+# the audit scores imputation error against the held-out truth with
+# exact integer cents sums. The donor medians are a bounded stratum
+# aggregate joined back broadcast; one fact scan feeds both donors
+# and masked rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "statcan_hotdeck_imputation",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         {{VC}} AS vc,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d' AS masked
+  FROM orders
+), donors AS (
+  SELECT priority, yr,
+         CAST(quantile_disc(vc, 0.50) AS BIGINT) AS med_c,
+         CAST(count(*) AS BIGINT) AS n_donors
+  FROM base WHERE NOT masked GROUP BY priority, yr
+), audit AS (
+  SELECT b.priority, b.yr, d.med_c, d.n_donors,
+         CAST(count(*) AS BIGINT) AS n_masked,
+         CAST(sum(abs(b.vc - d.med_c)) AS BIGINT) AS abs_err_c,
+         CAST(sum(d.med_c - b.vc) AS BIGINT) AS bias_c,
+         CAST(sum(b.vc) AS BIGINT) AS true_c
+  FROM base b JOIN donors d ON b.priority = d.priority AND b.yr = d.yr
+  WHERE b.masked
+  GROUP BY b.priority, b.yr, d.med_c, d.n_donors
+)
+SELECT priority, yr, n_donors, n_masked,
+       {R("CAST(med_c AS DOUBLE) / 100.0", 2)} AS imputed_value,
+       {R("CAST(abs_err_c AS DOUBLE) / CAST(n_masked AS DOUBLE) / 100.0", 2)} AS mae,
+       {R("CAST(bias_c AS DOUBLE) / CAST(true_c AS DOUBLE)", 6)} AS rel_bias
+FROM audit
+ORDER BY priority, yr
+""".replace("{VC}", "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"),
+)
+def statcan_hotdeck_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        cents("o_totalprice").alias("vc"),
+        (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "0d"
+        ).alias("masked"),
+    )
+    donors = (
+        base.filter(~F.col("masked"))
+        .groupBy("priority", "yr")
+        .agg(
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY vc)")
+            .cast("long")
+            .alias("med_c"),
+            F.count(F.lit(1)).cast("long").alias("n_donors"),
+        )
+    )
+    audit = (
+        base.filter("masked")
+        .join(F.broadcast(donors), ["priority", "yr"])
+        .groupBy("priority", "yr", "med_c", "n_donors")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_masked"),
+            F.sum(F.abs(F.col("vc") - F.col("med_c"))).cast("long").alias("abs_err_c"),
+            F.sum(F.col("med_c") - F.col("vc")).cast("long").alias("bias_c"),
+            F.sum("vc").cast("long").alias("true_c"),
+        )
+    )
+    return audit.select(
+        "priority",
+        "yr",
+        "n_donors",
+        "n_masked",
+        pround(F.col("med_c").cast("double") / F.lit(100.0), 2).alias("imputed_value"),
+        pround(
+            F.col("abs_err_c").cast("double")
+            / F.col("n_masked").cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("mae"),
+        pround(F.col("bias_c").cast("double") / F.col("true_c").cast("double"), 6).alias(
+            "rel_bias"
+        ),
+    ).orderBy("priority", "yr")

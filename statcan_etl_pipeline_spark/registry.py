@@ -53,6 +53,7 @@ def _load_all() -> None:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         approx,
         curation,
         curation2,
@@ -61,7 +62,9 @@ def _load_all() -> None:
         etl,
         graph,
         multimodal,
+        pca,
         recursive,
+        retrieval,
         relational,
         relational2,
         relational3,
@@ -69,6 +72,7 @@ def _load_all() -> None:
         similarity,
         spark4,
         stats,
+        survey,
         temporal,
         text,
     )

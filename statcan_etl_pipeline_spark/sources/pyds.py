@@ -32,8 +32,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -179,3 +181,120 @@ class WdsCsvDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> WdsCsvWriter:
         return WdsCsvWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "WdsCsvStreamWriter":
+        return WdsCsvStreamWriter(dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python Data Source (Spark 4): a WDS "revision feed" —
+# each micro-batch delivers the next window of vector observations.
+# Implements the SimpleDataSourceStreamReader protocol: offsets are
+# {"row": n} dicts; read(start) returns (rows, nextOffset) and the
+# engine persists the offset log, so a crashed query replays
+# deterministically from the last committed offset (the rows for a
+# given [start, end) are a pure function of the offset — exactly-once
+# downstream with an idempotent sink). The feed is synthetic but
+# deterministic: values derive from the row index, never from RNG or
+# wall-clock.
+# ---------------------------------------------------------------------------
+
+FEED_SCHEMA = "seq bigint, vector string, period string, value double"
+_FEED_BATCH = 25
+_FEED_TOTAL = 100
+
+
+def _feed_row(i: int) -> tuple:
+    vec = f"v{i % 5}"
+    period = f"{1995 + (i // 12) % 4}-{i % 12 + 1:02d}"
+    return (i, vec, period, float((i * 37) % 1000) / 10.0)
+
+
+class WdsFeedStreamReader(SimpleDataSourceStreamReader):
+    """Replayable bounded feed: rows [start.row, min(start.row+25, 100))."""
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict) -> tuple:
+        lo = int(start["row"])
+        hi = min(lo + _FEED_BATCH, _FEED_TOTAL)
+        return iter([_feed_row(i) for i in range(lo, hi)]), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: same pure function of offsets
+        return iter([_feed_row(i) for i in range(int(start["row"]), int(end["row"]))])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — offsets fully describe state
+
+
+class WdsFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wds_feed"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def simpleStreamReader(self, schema) -> WdsFeedStreamReader:
+        return WdsFeedStreamReader()
+
+
+# ---------------------------------------------------------------------------
+# Streaming WRITE path (DataSourceStreamWriter): per-micro-batch CSV
+# sink with the same two-phase commit shape as the batch writer, plus
+# BATCH-ID IDEMPOTENCE — commit() first checks the `_BATCHES` manifest
+# and drops the whole batch if its id was already committed, so a
+# replayed micro-batch (post-crash re-run from the offset log) can
+# never double its rows: offsets (source) + idempotent commit (sink)
+# = exactly-once end to end, the foreachBatch MERGE argument made at
+# the connector layer.
+# ---------------------------------------------------------------------------
+
+
+class WdsCsvStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        if "path" not in options:
+            raise ValueError("wds_py stream sink requires .option('path', ...)")
+        self.dir = options["path"]
+
+    def write(self, iterator) -> _CsvCommit:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w", newline="") as f:
+            wr = csv.writer(f)
+            for row in iterator:
+                wr.writerow(list(row))
+                n += 1
+        return _CsvCommit(temp_path=tmp, n_rows=n)
+
+    def _manifest(self) -> str:
+        return os.path.join(self.dir, "_BATCHES")
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        done = set()
+        if os.path.exists(self._manifest()):
+            with open(self._manifest()) as f:
+                done = {ln.strip() for ln in f if ln.strip()}
+        if str(batchId) in done:  # replayed batch: drop it, already durable
+            for m in messages:
+                if m is not None and os.path.exists(m.temp_path):
+                    os.remove(m.temp_path)
+            return
+        kept = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.dir, f"batch-{batchId:05d}-{i:03d}.csv")
+            os.replace(m.temp_path, final)
+            kept.append(final)
+        with open(self._manifest(), "a") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)

@@ -536,3 +536,42 @@ def test_scalar_pandas_udf_matches_jvm_expression(spark, sf_small):
         (F.col("o_totalprice") / (F.lit(1.0) + F.abs("o_totalprice"))).alias("s")
     ).collect()
     assert [r["s"] for r in got] == [r["s"] for r in want]
+
+
+def test_sniff_media_kind_magic_bytes(spark):
+    """Magic-bytes sniffing classifies PNG/JPEG/GIF/WAV/MP4/PDF headers
+    and falls back to octet-stream — all JVM-side (no UDF in plan)."""
+    from statcan_etl_pipeline_spark.operators.multimodal import sniff_media_kind
+
+    rows = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]) + b"xxxx"),
+        (2, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF"),
+        (3, b"GIF89a" + b"\x00" * 4),
+        (4, b"RIFF\x24\x08\x00\x00WAVE"),
+        (5, b"\x00\x00\x00\x20ftypisom"),
+        (6, b"%PDF-1.7\n"),
+        (7, b"plain text bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["kind"]
+        for r in df.select(
+            "doc_id", sniff_media_kind("payload").alias("kind")
+        ).collect()
+    }
+    assert got == {
+        1: "image/png",
+        2: "image/jpeg",
+        3: "image/gif",
+        4: "audio/wav",
+        5: "video/mp4",
+        6: "application/pdf",
+        7: "application/octet-stream",
+    }
+    plan = (
+        df.select(sniff_media_kind("payload").alias("kind"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -438,3 +438,55 @@ def test_per_doc_outputs_have_no_trailing_global_sort(spark, sf_small):
         # a trailing global sort shows as a rangepartitioning Exchange
         # feeding a Sort at the very top of the plan
         assert "rangepartitioning" not in first_lines, (name, first_lines)
+
+
+def test_ks_rank_window_partitions_by_bucket(spark, sf_small):
+    """ks_order_value_by_priority's cumulative counts rank distinct
+    values inside 256 range buckets (two-pass prefix sum); per-value
+    windows must partition by bucket — never one global orderBy window
+    over the distinct-value set."""
+    plan = _plan(spark, "ks_order_value_by_priority", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "c1" in ln or "c2" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_x11_trend_offset_join_no_cartesian(spark, sf_small):
+    """statcan_x11_trend's +/-6 month fan-out must be an equi-join on
+    (priority, ord+k) over the bounded monthly aggregate — no
+    cartesian/nested-loop product anywhere in the plan."""
+    plan = _plan(spark, "statcan_x11_trend", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rca_dim_joins_broadcast_no_second_fact_scan(spark, sf_small):
+    """nation_type_rca broadcasts all three dimension joins and reads
+    the lineitem fact exactly once (margins re-aggregate from cells)."""
+    plan = _plan(spark, "nation_type_rca", sf_small)
+    assert "CartesianProduct" not in plan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, plan
+
+
+def test_raking_margin_joins_broadcast(spark, sf_small):
+    """survey_raking_calibration joins per-pass margin sums and targets
+    back to the sample as broadcasts (bounded region/segment tables);
+    no cartesian product anywhere."""
+    plan = _plan(spark, "survey_raking_calibration", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_actives_no_fact_window(spark, sf_small):
+    """events_rolling_7d_active_users must contain NO window function at
+    all — the rolling distinct is the 7x fan-out + distinct-count
+    rewrite, never a window frame over the event stream."""
+    plan = _plan(spark, "events_rolling_7d_active_users", sf_small)
+    assert "windowspecdefinition" not in plan

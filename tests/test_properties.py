@@ -90,3 +90,69 @@ def test_scatter_gated_on_input_width(spark):
     out = scatter(spark, wide)
     assert out is wide  # untouched: no Exchange added
     assert out.rdd.getNumPartitions() == par + 4
+
+
+def test_mmr_selects_k_distinct_from_pool(spark, sf_small):
+    """MMR returns exactly 5 distinct winners per query, and step 1 is
+    the pure-relevance argmax (its rel is the max rel among winners)."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["mmr_diversified_topk"](spark, sf_small).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == 5
+    for qid, sel in by_q.items():
+        assert sorted(r["step"] for r in sel) == [1, 2, 3, 4, 5]
+        assert len({r["cid"] for r in sel}) == 5
+        first = next(r for r in sel if r["step"] == 1)
+        assert first["rel"] == max(r["rel"] for r in sel)
+
+
+def test_pca_loading_normalized_and_eigval_positive(spark, sf_small):
+    """Power iteration normalizes by max-abs: exactly one |loading| of
+    1.0 must survive, and the Rayleigh eigenvalue is positive."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["embedding_pca_top_component"](spark, sf_small).collect()
+    assert len(rows) == 64
+    mx = max(abs(r["loading"]) for r in rows)
+    assert mx == 1.0
+    assert all(r["eigval"] > 0 for r in rows)
+
+
+def test_raking_calibrates_final_margin(spark, sf_small):
+    """After the final region IPF pass the region margins must match
+    their targets to within accumulated micro-quantization error."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["survey_raking_calibration"](spark, sf_small).collect()
+    reg = [r for r in rows if r["margin"] == "region" and r["n_sample"] > 0]
+    assert reg
+    for r in reg:
+        assert abs(r["gap"]) < 0.01, r
+
+
+def test_markov_mass_conserved(spark, sf_small):
+    """8 quantized pi*P steps lose at most ~K^2*8 half-nanos of mass:
+    the distribution must still sum to 1 within 1e-3."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_markov_stationary"](spark, sf_small).collect()
+    total = sum(r["pi8"] for r in rows)
+    assert 0.999 < total < 1.001, total
+
+
+def test_contributions_sum_to_laspeyres_change(spark, sf_small):
+    """price_index_contributions must decompose price_index_fisher's
+    Laspeyres index exactly: sum of per-type contribution_pp per year
+    equals laspeyres - 100 (up to the two queries' 4-dp roundings)."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    contrib = QUERIES["price_index_contributions"](spark, sf_small).collect()
+    fisher = {r["yr"]: r["laspeyres"] for r in QUERIES["price_index_fisher"](spark, sf_small).collect()}
+    by_yr = {}
+    for r in contrib:
+        by_yr[r["yr"]] = by_yr.get(r["yr"], 0.0) + r["contribution_pp"]
+    for yr, s in by_yr.items():
+        assert abs(s - (fisher[yr] - 100.0)) < 0.01, (yr, s, fisher[yr])

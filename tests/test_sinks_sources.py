@@ -361,3 +361,121 @@ def test_python_datasource_wds_writer_two_phase_commit(spark):
         ).write.format("wds_py").option("path", p).mode("overwrite").save()
         r = read_committed_wds_csv(spark, p).collect()[0]
         assert r["value"] is None and r["vector"] == "vnull0000"
+
+
+def test_pyds_streaming_feed_source_exactly_once(spark, tmp_path):
+    """Streaming Python Data Source (Spark 4, SimpleDataSourceStreamReader):
+    the wds_feed source delivers the bounded 100-row revision feed in
+    25-row offset windows; the offset protocol makes rows a pure
+    function of [start, end), so the collected stream equals the
+    deterministic feed exactly — no dup, no loss — and per-vector
+    aggregation matches the closed form."""
+    from statcan_etl_pipeline_spark.sources.pyds import (
+        WdsFeedDataSource,
+        _feed_row,
+    )
+
+    spark.dataSource.register(WdsFeedDataSource)
+    q = (
+        spark.readStream.format("wds_feed")
+        .load()
+        .writeStream.format("memory")
+        .queryName("wds_feed_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("wds_feed_sink").count() >= 100:
+                break
+            time.sleep(1)
+        got = sorted(tuple(r) for r in spark.table("wds_feed_sink").collect())
+        want = sorted(_feed_row(i) for i in range(100))
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_pyds_streaming_writer_idempotent_commit(spark, tmp_path):
+    """Streaming Python Data Source WRITE path (DataSourceStreamWriter):
+    wds_feed -> wds_py stream sink; the per-batch manifest commit makes
+    replays idempotent. End state: all 100 feed rows exactly once in
+    committed batch files, and a manually replayed batch id is dropped."""
+    import os
+
+    from statcan_etl_pipeline_spark.sources.pyds import (
+        WdsCsvStreamWriter,
+        WdsFeedDataSource,
+        WdsCsvDataSource,
+        _CsvCommit,
+        _feed_row,
+    )
+
+    spark.dataSource.register(WdsFeedDataSource)
+    spark.dataSource.register(WdsCsvDataSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("wds_feed")
+        .load()
+        .selectExpr(
+            "cast(seq as string) ref_date",
+            "vector geo",
+            "vector",
+            "period coordinate",
+            "value",
+            "'' status",
+        )
+        .writeStream.format("wds_py")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        total = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            parts = [p for p in os.listdir(out) if p.startswith("batch-")]
+            total = sum(
+                1
+                for p in parts
+                for _ in open(os.path.join(out, p))
+            )
+            if total >= 100:
+                break
+            time.sleep(1)
+        assert total == 100, total
+        seqs = sorted(
+            int(line.split(",")[0])
+            for p in os.listdir(out)
+            if p.startswith("batch-")
+            for line in open(os.path.join(out, p))
+            if line.strip()
+        )
+        assert seqs == list(range(100))
+    finally:
+        q.stop()
+
+    # manual replay of an already-committed batch id must be dropped
+    w = WdsCsvStreamWriter({"path": out})
+    tmp = os.path.join(out, "_tmp-replay.csv")
+    with open(tmp, "w") as f:
+        f.write("999,x,x,x,0.0,\n")
+    w.commit([_CsvCommit(temp_path=tmp, n_rows=1)], batchId=0)
+    assert not os.path.exists(tmp)  # temp swept
+    replayed = sorted(
+        int(line.split(",")[0])
+        for p in os.listdir(out)
+        if p.startswith("batch-")
+        for line in open(os.path.join(out, p))
+        if line.strip()
+    )
+    assert replayed == list(range(100))  # still exactly once
