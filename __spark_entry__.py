@@ -58,6 +58,13 @@ _CHECK_FIRST = [
     "corpus_bpe_merges",  # new: distributed BPE merge discovery
     "orders_lorenz_deciles",  # new: exact decile Lorenz curve
     "price_index_contributions",  # new: pp contribution decomposition
+    "theil_sen_price_qty_by_type",  # new: capped-pairs robust regression
+    "price_index_chained_fisher",  # new: order-pinned chained index fold
+    "knn_label_eval",  # new: majority-of-kNN label audit
+    "rotation_panel_estimates",  # new: md5 rotation panels + between-CV
+    "statcan_allocation_largest_remainder",  # new: exact Hamilton apportionment
+    "events_burstiness_fano",  # new: Fano/burstiness census
+    "events_type_cooccurrence",  # new: user-level type co-occurrence lift
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
     "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc

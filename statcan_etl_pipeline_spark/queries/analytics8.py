@@ -525,3 +525,133 @@ def price_index_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "ptype")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness census: Fano factor (variance/mean of daily counts) and
+# the Goh–Barabási burstiness index B = (σ−μ)/(σ+μ) per event type —
+# the "is this traffic Poisson?" monitor. All moments are exact
+# integer sums over the bounded daily aggregate; Fano is a single
+# exact-ratio division ((nΣx² − (Σx)²) / (n·Σx)); σ enters only
+# through one sqrt of an identical double.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_burstiness_fano",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       {R("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)", 4)} AS mean_daily,
+       {R("CAST(n_days * s2 - s * s AS DOUBLE) / (CAST(n_days AS DOUBLE) * CAST(s AS DOUBLE))", 6)} AS fano,
+       {R("(sqrt(CAST(n_days * s2 - s * s AS DOUBLE)) / CAST(n_days AS DOUBLE)"
+          " - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))"
+          " / (sqrt(CAST(n_days * s2 - s * s AS DOUBLE)) / CAST(n_days AS DOUBLE)"
+          " + CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))", 6)} AS burstiness
+FROM m
+ORDER BY event_type
+""",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("n").cast(_DEC)).alias("s"),
+        F.sum((F.col("n").cast(_DEC) * F.col("n").cast(_DEC))).alias("s2"),
+    )
+    var_num = (F.col("n_days") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+    n_d = F.col("n_days").cast("double")
+    s_d = F.col("s").cast("double")
+    sigma = F.sqrt(var_num) / n_d
+    mu = s_d / n_d
+    return m.select(
+        "event_type",
+        "n_days",
+        pround(mu, 4).alias("mean_daily"),
+        pround(var_num / (n_d * s_d), 6).alias("fano"),
+        pround((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift: for each unordered pair of event
+# types, how much more often does one user do BOTH than independence
+# predicts? lift = c_xy·U / (c_x·c_y) — exact integer cross products,
+# one division. The pair explode is the per-user distinct-type
+# self-join: bounded K² fan-out per user (K = #types), linear in
+# users; type margins re-aggregate from the deduplicated (user, type)
+# set, single fact scan feeds everything.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_cooccurrence",
+    oracle=f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tots AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cu FROM ut GROUP BY event_type
+), u AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS c_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.c_both, ta.cu AS c_a, tb.cu AS c_b,
+       {R("CAST(CAST(p.c_both AS HUGEINT) * u.n_users AS DOUBLE)"
+          " / CAST(CAST(ta.cu AS HUGEINT) * tb.cu AS DOUBLE)", 6)} AS lift
+FROM pairs p
+JOIN tots ta ON p.type_a = ta.event_type
+JOIN tots tb ON p.type_b = tb.event_type
+CROSS JOIN u
+ORDER BY p.type_a, p.type_b
+""",
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tots = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    u = ut.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    b = ut.select(F.col("user_id").alias("u2"), F.col("event_type").alias("type_b"))
+    pairs = (
+        ut.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_both"))
+    )
+    ta = tots.select(F.col("event_type").alias("type_a"), F.col("cu").alias("c_a"))
+    tb = tots.select(F.col("event_type").alias("type_b"), F.col("cu").alias("c_b"))
+    lift_num = F.col("c_both").cast(_DEC) * F.col("n_users").cast(_DEC)
+    lift_den = F.col("c_a").cast(_DEC) * F.col("c_b").cast(_DEC)
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(u))
+        .select(
+            "type_a",
+            "type_b",
+            "c_both",
+            "c_a",
+            "c_b",
+            pround(lift_num.cast("double") / lift_den.cast("double"), 6).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

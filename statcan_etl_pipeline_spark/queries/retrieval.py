@@ -175,3 +175,92 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(out), "qid long, step long, cid long, rel double, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency audit: for a bounded eval set (vec_id < 100),
+# predict each vector's label as the majority among its 5 nearest
+# neighbors (cosine, self excluded) and score accuracy per true
+# label — the embedding-space QA that catches label noise a centroid
+# test misses. The eval set is an ABSOLUTE bound, so the broadcast
+# join stays |eval| x n (linear in corpus) at any scale; majority with
+# deterministic tie-break = max(struct(votes, -label)).
+# ---------------------------------------------------------------------------
+
+_EVAL_N = 100
+_KNN_K = 5
+
+
+@query(
+    "knn_label_eval",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id AS qid, embedding AS qe, CAST(label AS BIGINT) AS true_label
+  FROM embeddings WHERE vec_id < {_EVAL_N}
+), scored AS (
+  SELECT e.qid, e.true_label, CAST(c.label AS BIGINT) AS nlabel,
+         row_number() OVER (
+           PARTITION BY e.qid
+           ORDER BY {R(sql_cosine("e.qe", "c.embedding"), 6)} DESC, c.vec_id) AS rk
+  FROM ev e JOIN embeddings c ON c.vec_id <> e.qid
+), votes AS (
+  SELECT qid, true_label, nlabel, CAST(count(*) AS BIGINT) AS v
+  FROM scored WHERE rk <= {_KNN_K}
+  GROUP BY qid, true_label, nlabel
+), pred AS (
+  SELECT qid, true_label,
+         CAST(-struct_extract(max(struct_pack(v := v, nl := -nlabel)), 'nl') AS BIGINT)
+           AS pred_label
+  FROM votes GROUP BY qid, true_label
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       {R("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)"
+          " / CAST(count(*) AS DOUBLE)", 4)} AS accuracy
+FROM pred
+GROUP BY true_label
+ORDER BY true_label
+""",
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < _EVAL_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    wrk = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    scored = (
+        emb.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").cast("long").alias("nlabel"),
+            "vec_id",
+            pround(cosine("qe", "embedding"), 6).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _KNN_K)
+    )
+    votes = scored.groupBy("qid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    pred = votes.groupBy("qid", "true_label").agg(
+        (-F.max(F.struct(F.col("v"), (-F.col("nlabel")).alias("nl")))["nl"])
+        .cast("long")
+        .alias("pred_label")
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            pround(
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

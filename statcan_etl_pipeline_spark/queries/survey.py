@@ -410,3 +410,194 @@ def statcan_hotdeck_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_bias"
         ),
     ).orderBy("priority", "yr")
+
+
+# ---------------------------------------------------------------------------
+# Rotation-panel estimates: customers are deterministically assigned
+# to 6 rotation panels (md5-derived — stable under frame growth, the
+# actual StatCan rotation mechanism's shape), each panel estimates
+# mean order value independently, and the between-panel dispersion is
+# the design-effect health check. Panel means are re-quantized to
+# 1/100-cent fixed point so the cross-panel moment sums are exact
+# integers (no 6-double accumulation-order hazard); one sqrt+division
+# at the end for the between-panel CV.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rotation_panel_estimates",
+    oracle=f"""
+WITH assign AS (
+  SELECT o.o_custkey,
+         CAST(CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 2) AS INTEGER)
+              % 6 AS BIGINT) AS panel,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM orders o
+), pan AS (
+  SELECT panel,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(vc) AS BIGINT) AS s
+  FROM assign GROUP BY panel
+), q AS (
+  SELECT panel, n_orders, s,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS mq
+  FROM pan
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(mq AS HUGEINT)) AS HUGEINT) AS sm,
+         CAST(sum(CAST(mq AS HUGEINT) * mq) AS HUGEINT) AS sm2
+  FROM q
+)
+SELECT q.panel, q.n_orders,
+       {R("CAST(q.mq AS DOUBLE) / 10000.0", 2)} AS mean_value,
+       {R("sqrt(CAST(a.k * a.sm2 - a.sm * a.sm AS DOUBLE)) / CAST(a.sm AS DOUBLE)", 6)}
+         AS between_panel_cv
+FROM q, agg a
+ORDER BY q.panel
+""",
+)
+def rotation_panel_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    assign = orders.select(
+        (
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+            % 6
+        ).alias("panel"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("vc"),
+    )
+    pan = assign.groupBy("panel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("vc").cast("long").alias("s"),
+    )
+    q = pan.withColumn(
+        "mq",
+        F.floor(
+            F.col("s").cast("double") / F.col("n_orders").cast("double") * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    dec = "decimal(38,0)"
+    agg = q.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("mq").cast(dec)).alias("sm"),
+        F.sum((F.col("mq").cast(dec) * F.col("mq").cast(dec))).alias("sm2"),
+    )
+    return (
+        q.crossJoin(F.broadcast(agg))
+        .select(
+            "panel",
+            "n_orders",
+            pround(F.col("mq").cast("double") / F.lit(10000.0), 2).alias("mean_value"),
+            pround(
+                F.sqrt(
+                    (F.col("k") * F.col("sm2") - F.col("sm") * F.col("sm")).cast(
+                        "double"
+                    )
+                )
+                / F.col("sm").cast("double"),
+                6,
+            ).alias("between_panel_cv"),
+        )
+        .orderBy("panel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment: allocate 1000 sample
+# units across customer nations proportional to revenue — the
+# integer-allocation step behind survey take allocation and seat
+# apportionment. Entirely exact integer arithmetic: floor quotas via
+# integer division (Spark `div` ≡ DuckDB `//`), remainders ranked
+# over the bounded nation table with a deterministic name tie-break;
+# Σ allocated = 1000 exactly by construction (pytest-pinned).
+# ---------------------------------------------------------------------------
+
+_ALLOC_TOTAL = 1000
+
+
+@query(
+    "statcan_allocation_largest_remainder",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(sum({{VC}}) AS HUGEINT) AS s
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), tot AS (
+  SELECT CAST(sum(s) AS HUGEINT) AS st, CAST(count(*) AS BIGINT) AS k FROM rev
+), quo AS (
+  SELECT r.nation, r.s,
+         CAST((r.s * {_ALLOC_TOTAL}) // t.st AS BIGINT) AS base,
+         CAST(r.s * {_ALLOC_TOTAL} - ((r.s * {_ALLOC_TOTAL}) // t.st) * t.st
+              AS HUGEINT) AS rem
+  FROM rev r, tot t
+), rks AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, nation) AS BIGINT) AS rk,
+         CAST({_ALLOC_TOTAL} - sum(base) OVER () AS BIGINT) AS n_extra
+  FROM quo
+)
+SELECT q.nation,
+       {R("CAST(q.s AS DOUBLE) / 100.0", 2)} AS revenue,
+       {R("CAST(q.s AS DOUBLE) / CAST(t.st AS DOUBLE)", 6)} AS share,
+       q.base,
+       CAST(q.base + CASE WHEN q.rk <= q.n_extra THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated
+FROM rks q, tot t
+ORDER BY q.nation
+""".replace("{VC}", "CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)"),
+)
+def statcan_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = "decimal(38,0)"
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .cast(dec)
+            .alias("s")
+        )
+    )
+    tot = rev.agg(F.sum("s").alias("st"))
+    quo = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "s",
+        "st",
+        F.expr(f"CAST((s * {_ALLOC_TOTAL}) div st AS LONG)").alias("base"),
+        F.expr(
+            f"s * {_ALLOC_TOTAL} - ((s * {_ALLOC_TOTAL}) div st) * st"
+        ).alias("rem"),
+    )
+    wrk = W.orderBy(F.desc("rem"), F.asc("nation"))
+    wall = W.partitionBy()
+    rks = quo.select(
+        "nation",
+        "s",
+        "st",
+        "base",
+        F.row_number().over(wrk).cast("long").alias("rk"),
+        (F.lit(_ALLOC_TOTAL) - F.sum("base").over(wall)).cast("long").alias("n_extra"),
+    )
+    return rks.select(
+        "nation",
+        pround(F.col("s").cast("double") / F.lit(100.0), 2).alias("revenue"),
+        pround(F.col("s").cast("double") / F.col("st").cast("double"), 6).alias(
+            "share"
+        ),
+        "base",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+    ).orderBy("nation")

@@ -68,6 +68,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        robust,
         seasonal,
         similarity,
         spark4,

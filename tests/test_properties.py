@@ -156,3 +156,26 @@ def test_contributions_sum_to_laspeyres_change(spark, sf_small):
         by_yr[r["yr"]] = by_yr.get(r["yr"], 0.0) + r["contribution_pp"]
     for yr, s in by_yr.items():
         assert abs(s - (fisher[yr] - 100.0)) < 0.01, (yr, s, fisher[yr])
+
+
+def test_allocation_sums_exactly_to_total(spark, sf_small):
+    """Hamilton apportionment must hand out exactly 1000 units, with
+    every nation getting either its floor quota or quota+1."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["statcan_allocation_largest_remainder"](spark, sf_small).collect()
+    assert sum(r["allocated"] for r in rows) == 1000
+    for r in rows:
+        assert r["allocated"] in (r["base"], r["base"] + 1)
+
+
+def test_theil_sen_pairs_bounded_by_cap(spark, sf_small):
+    """The per-type pair count can never exceed C(100, 2) regardless of
+    how many parts a type has — the documented Theil-Sen scale bound."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["theil_sen_price_qty_by_type"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_parts_used"] <= 100
+        assert r["n_pairs"] <= 100 * 99 // 2
