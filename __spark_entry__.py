@@ -65,6 +65,8 @@ _CHECK_FIRST = [
     "statcan_allocation_largest_remainder",  # new: exact Hamilton apportionment
     "events_burstiness_fano",  # new: Fano/burstiness census
     "events_type_cooccurrence",  # new: user-level type co-occurrence lift
+    "spearman_price_acctbal",  # new: exact two-pass midrank Spearman
+    "orders_runs_test_daily",  # new: Wald-Wolfowitz runs test
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
     "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc

@@ -225,21 +225,39 @@ ORDER BY true_label
 """,
 )
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_fixed
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # precompute each side's self-dot ONCE (per row, not per pair) —
+    # the pairwise cosine then needs a single dot product instead of
+    # three; the expression below reproduces cosine()'s exact double
+    # ops from the same fixed-point integers, so results are
+    # bit-identical to the naive form (and to the oracle).
     ev = emb.filter(F.col("vec_id") < _EVAL_N).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").cast("long").alias("true_label"),
+        dot_fixed("embedding", "embedding").alias("qnorm"),
     )
+    nb = emb.select(
+        "vec_id",
+        "embedding",
+        F.col("label").cast("long").alias("nlabel"),
+        dot_fixed("embedding", "embedding").alias("nnorm"),
+    )
+    dab = dot_fixed("qe", "embedding") / F.lit(1e9)
+    daa = F.col("qnorm") / F.lit(1e9)
+    dbb = F.col("nnorm") / F.lit(1e9)
+    cos = F.when((daa > 0) & (dbb > 0), dab / (F.sqrt(daa) * F.sqrt(dbb)))
     wrk = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     scored = (
-        emb.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
+        nb.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "true_label",
-            F.col("label").cast("long").alias("nlabel"),
+            "nlabel",
             "vec_id",
-            pround(cosine("qe", "embedding"), 6).alias("cos"),
+            pround(cos, 6).alias("cos"),
         )
         .withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= _KNN_K)

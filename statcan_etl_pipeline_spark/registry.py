@@ -73,6 +73,7 @@ def _load_all() -> None:
         similarity,
         spark4,
         stats,
+        stats2,
         survey,
         temporal,
         text,

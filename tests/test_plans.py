@@ -490,3 +490,31 @@ def test_rolling_actives_no_fact_window(spark, sf_small):
     rewrite, never a window frame over the event stream."""
     plan = _plan(spark, "events_rolling_7d_active_users", sf_small)
     assert "windowspecdefinition" not in plan
+
+
+def test_spearman_rank_windows_partition_by_bucket(spark, sf_small):
+    """spearman_price_acctbal's midranks must come from bucket-partitioned
+    windows (two-pass prefix sum) — never one global window over the
+    distinct-value sets of either variable."""
+    plan = _plan(spark, "spearman_price_acctbal", sf_small)
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    row_wins = [ln for ln in wins if "c1" in ln or "c2" in ln]
+    assert row_wins, plan
+    for ln in row_wins:
+        assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_chained_fisher_no_cartesian(spark, sf_small):
+    """price_index_chained_fisher's month-to-month link join must be an
+    equi-join on (part, month-1); no nested-loop anywhere."""
+    plan = _plan(spark, "price_index_chained_fisher", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cooccurrence_no_cartesian(spark, sf_small):
+    """events_type_cooccurrence's pair explode is the per-user equi
+    self-join on user_id; margins broadcast; no cartesian except the
+    1-row totals crossJoin."""
+    plan = _plan(spark, "events_type_cooccurrence", sf_small)
+    assert "CartesianProduct" not in plan

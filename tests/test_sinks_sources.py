@@ -479,3 +479,56 @@ def test_pyds_streaming_writer_idempotent_commit(spark, tmp_path):
         if line.strip()
     )
     assert replayed == list(range(100))  # still exactly once
+
+
+def test_pyds_stream_end_to_end_aggregated_pipeline(spark, tmp_path):
+    """Connector-to-connector streaming pipeline: wds_feed stream read ->
+    per-vector aggregation (complete mode) -> memory sink, with the
+    final aggregates equal to the closed-form feed's per-vector sums.
+    Exercises the offset protocol under a stateful aggregation."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.sources.pyds import (
+        WdsFeedDataSource,
+        _feed_row,
+    )
+
+    spark.dataSource.register(WdsFeedDataSource)
+    q = (
+        spark.readStream.format("wds_feed")
+        .load()
+        .groupBy("vector")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .writeStream.format("memory")
+        .queryName("wds_feed_agg")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        want = {}
+        for i in range(100):
+            _, vec, _, val = _feed_row(i)
+            n, s = want.get(vec, (0, 0.0))
+            want[vec] = (n + 1, s + val)
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                r["vector"]: (r["n"], r["total"])
+                for r in spark.table("wds_feed_agg").collect()
+            }
+            if sum(n for n, _ in got.values()) >= 100:
+                break
+            time.sleep(1)
+        assert {k: (n, round(s, 6)) for k, (n, s) in got.items()} == {
+            k: (n, round(s, 6)) for k, (n, s) in want.items()
+        }
+    finally:
+        q.stop()
