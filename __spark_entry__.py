@@ -67,6 +67,11 @@ _CHECK_FIRST = [
     "events_type_cooccurrence",  # new: user-level type co-occurrence lift
     "spearman_price_acctbal",  # new: exact two-pass midrank Spearman
     "orders_runs_test_daily",  # new: Wald-Wolfowitz runs test
+    "corpus_dataset_card",  # new: single-row dataset release card
+    "vocab_coverage_curve",  # new: top-k token coverage, TakeOrdered
+    "statcan_price_relative_fences",  # new: Tukey-fence relative cleaning
+    "brand_return_rate_wilson",  # new: Wilson lower-bound ranking
+    "survey_ht_total_audit",  # new: Horvitz-Thompson estimator audit
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
     "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc

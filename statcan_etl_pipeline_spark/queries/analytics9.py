@@ -1,0 +1,421 @@
+"""Corpus dataset card: the single-row summary a dataset release
+ships with (docs, tokens, vocabulary, languages, sources,
+type-token ratio, length profile) — all from one pass over the
+documents table plus one vocabulary aggregate, crossJoined as
+broadcast singletons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import pround, sql_cents, sql_round as R
+from ..functions.text import norm_text, sql_norm_text
+from ..registry import query
+
+
+@query(
+    "corpus_dataset_card",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split({sql_norm_text("text")}, ' ') AS toks
+  FROM documents
+), doc_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         CAST(min(len(toks)) AS BIGINT) AS min_tokens,
+         CAST(max(len(toks)) AS BIGINT) AS max_tokens
+  FROM base
+), vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(toks) AS w FROM base)
+)
+SELECT d.n_docs, d.n_langs, d.n_sources, d.total_chars, d.total_tokens,
+       d.min_tokens, d.max_tokens, v.vocab_size,
+       {R("CAST(d.total_tokens AS DOUBLE) / CAST(d.n_docs AS DOUBLE)", 4)}
+         AS mean_tokens_per_doc,
+       {R("CAST(v.vocab_size AS DOUBLE) / CAST(d.total_tokens AS DOUBLE)", 6)}
+         AS type_token_ratio
+FROM doc_stats d, vocab v
+""",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.split(norm_text("text"), " ").alias("toks"),
+    )
+    doc_stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+        F.min(F.size("toks")).cast("long").alias("min_tokens"),
+        F.max(F.size("toks")).cast("long").alias("max_tokens"),
+    )
+    vocab = (
+        base.select(F.explode("toks").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("vocab_size"))
+    )
+    return doc_stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        "vocab_size",
+        pround(
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("mean_tokens_per_doc"),
+        pround(
+            F.col("vocab_size").cast("double") / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of all token OCCURRENCES do
+# the top-10/100/1000 vocabulary words cover? The top-k set comes from
+# an ordered LIMIT (TakeOrdered with a lexical tie-break — never a
+# global rank window over the unbounded vocabulary), the cumulative
+# rank window runs over the bounded 1000-row top set, and totals are a
+# broadcast singleton. Exact integer counts, one division per row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split({sql_norm_text("text")}, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab
+), top AS (
+  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk
+  FROM vocab ORDER BY c DESC, w LIMIT 1000
+), cum AS (
+  SELECT rk, sum(c) OVER (ORDER BY rk) AS cc FROM top
+)
+SELECT CAST(k.k AS BIGINT) AS top_k,
+       {R("CAST(c.cc AS DOUBLE) / CAST(t.t AS DOUBLE)", 6)} AS coverage
+FROM (VALUES (10), (100), (1000)) k(k)
+JOIN cum c ON c.rk = k.k
+CROSS JOIN tot t
+ORDER BY top_k
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(norm_text("text"), " ").alias("toks")
+    )
+    vocab = docs.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    tot = vocab.agg(F.sum("c").cast("long").alias("t"))
+    # ordered LIMIT first (TakeOrdered over the vocabulary), THEN the
+    # rank window over the bounded 1000-row result
+    top = (
+        vocab.orderBy(F.desc("c"), F.asc("w"))
+        .limit(1000)
+        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w"))))
+    )
+    cum = top.select(
+        "rk", F.sum("c").over(W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)).alias("cc")
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "top_k long")
+    return (
+        ks.join(cum, ks.top_k == cum.rk)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "top_k",
+            pround(F.col("cc").cast("double") / F.col("t").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("top_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price-relative outlier fences (the HICP data-cleaning pass): each
+# part's month-over-month unit-price relative is screened against its
+# month's Tukey fences (Q1/Q3 are percentile_disc picks of identical
+# ratio doubles — bit-exact; fence arithmetic on identical doubles).
+# Month-to-month matching is the linear (part, month-1) equi-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "statcan_price_relative_fences",
+    oracle=f"""
+WITH pm AS (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS ord,
+         strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS extc,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2, l_partkey
+), up AS (
+  SELECT ord, month, l_partkey,
+         CAST(floor(CAST(extc AS DOUBLE) / qty + 0.5) AS BIGINT) AS upc
+  FROM pm WHERE qty > 0
+), rel AS (
+  SELECT c.ord, c.month,
+         CAST(c.upc AS DOUBLE) / CAST(p.upc AS DOUBLE) AS r
+  FROM up c JOIN up p ON c.l_partkey = p.l_partkey AND p.ord = c.ord - 1
+), fences AS (
+  SELECT ord, month,
+         CAST(count(*) AS BIGINT) AS n_items,
+         quantile_disc(r, 0.25) AS q1,
+         quantile_disc(r, 0.75) AS q3
+  FROM rel GROUP BY ord, month
+)
+SELECT f.month, f.n_items,
+       {R("f.q1", 6)} AS q1, {R("f.q3", 6)} AS q3,
+       CAST(sum(CASE WHEN r.r < f.q1 - 1.5 * (f.q3 - f.q1)
+                       OR r.r > f.q3 + 1.5 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM rel r JOIN fences f ON r.ord = f.ord
+GROUP BY f.month, f.n_items, f.q1, f.q3
+ORDER BY f.month
+""",
+)
+def statcan_price_relative_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("ord"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "l_partkey",
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")).alias(
+            "extc"
+        ),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("qty"),
+    )
+    up = pm.filter(F.col("qty") > 0).select(
+        "ord",
+        "month",
+        "l_partkey",
+        F.floor(F.col("extc").cast("double") / F.col("qty") + 0.5)
+        .cast("long")
+        .alias("upc"),
+    )
+    prev = up.select(
+        F.col("l_partkey").alias("pk"),
+        (F.col("ord") + 1).alias("ord_next"),
+        F.col("upc").alias("upc_p"),
+    )
+    rel = up.join(
+        prev,
+        (F.col("l_partkey") == F.col("pk")) & (F.col("ord") == F.col("ord_next")),
+    ).select(
+        "ord",
+        "month",
+        (F.col("upc").cast("double") / F.col("upc_p").cast("double")).alias("r"),
+    )
+    fences = rel.groupBy("ord", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY r)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY r)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = F.when(
+        (F.col("r") < F.col("q1") - F.lit(1.5) * iqr)
+        | (F.col("r") > F.col("q3") + F.lit(1.5) * iqr),
+        1,
+    ).otherwise(0)
+    return (
+        rel.join(F.broadcast(fences.drop("month")), "ord")
+        .groupBy("month", "n_items", "q1", "q3")
+        .agg(F.sum(out).cast("long").alias("n_outliers"))
+        .select(
+            "month",
+            "n_items",
+            pround(F.col("q1"), 6).alias("q1"),
+            pround(F.col("q3"), 6).alias("q3"),
+            "n_outliers",
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brand return-rate ranking by Wilson lower bound — the classic
+# small-sample-safe ranking (a brand with 2/2 returns must NOT outrank
+# one with 90/100). Counts are exact integers; the Wilson score's
+# doubles come from identical integer inputs and the fixed z = 1.96
+# literal, so ranking order is engine-exact (ordered output with a
+# brand tie-break).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brand_return_rate_wilson",
+    oracle=f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returns
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT brand, n_items, n_returns,
+       {R("CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE)", 6)} AS return_rate,
+       {R("(CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE)"
+          " + 1.96 * 1.96 / (2.0 * CAST(n_items AS DOUBLE))"
+          " - 1.96 * sqrt((CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE))"
+          "   * (1.0 - CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE))"
+          "   / CAST(n_items AS DOUBLE)"
+          "   + 1.96 * 1.96 / (4.0 * CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))))"
+          " / (1.0 + 1.96 * 1.96 / CAST(n_items AS DOUBLE))", 6)} AS wilson_lb
+FROM b
+ORDER BY brand
+""",
+)
+def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returns"),
+        )
+    )
+    n = F.col("n_items").cast("double")
+    p = F.col("n_returns").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    wilson = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    ) / (F.lit(1.0) + z2 / n)
+    return b.select(
+        "brand",
+        "n_items",
+        "n_returns",
+        pround(p, 6).alias("return_rate"),
+        pround(wilson, 6).alias("wilson_lb"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Horvitz–Thompson total estimation audit: the deterministic md5 ~30%
+# customer sample (the raking frame) estimates total order revenue by
+# inverse-probability weighting; the audit reports the estimate, its
+# SRS variance estimate N²(1−f)s²/n, and the TRUE total (held out —
+# exact cents), per market segment. All moments exact integers; the
+# design constants f = n/N enter as exact integer ratios.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survey_ht_total_audit",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '4d' AS in_sample
+  FROM customer
+), rev AS (
+  SELECT c.segment, c.in_sample,
+         CAST(sum({sql_cents("o.o_totalprice")}) AS BIGINT) AS rev_c
+  FROM cust c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.segment, c.in_sample
+), frame AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n_frame,
+         CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+         CAST(sum(rev_c) AS HUGEINT) AS true_c,
+         CAST(sum(CASE WHEN in_sample THEN rev_c ELSE 0 END) AS HUGEINT) AS samp_c,
+         CAST(sum(CASE WHEN in_sample THEN CAST(rev_c AS HUGEINT) * rev_c
+                       ELSE 0 END) AS HUGEINT) AS samp_c2
+  FROM rev GROUP BY segment
+)
+SELECT segment, n_frame, n_sample,
+       {R("CAST(true_c AS DOUBLE) / 100.0", 2)} AS true_total,
+       {R("CAST(n_frame AS DOUBLE) / CAST(n_sample AS DOUBLE)"
+          " * CAST(samp_c AS DOUBLE) / 100.0", 2)} AS ht_estimate,
+       {R("(CAST(n_frame AS DOUBLE) / CAST(n_sample AS DOUBLE)"
+          " * CAST(samp_c AS DOUBLE) - CAST(true_c AS DOUBLE))"
+          " / CAST(true_c AS DOUBLE)", 6)} AS rel_error,
+       {R("CAST(n_frame AS DOUBLE) * CAST(n_frame AS DOUBLE)"
+          " * (1.0 - CAST(n_sample AS DOUBLE) / CAST(n_frame AS DOUBLE))"
+          " * ((CAST(n_sample AS DOUBLE) * CAST(samp_c2 AS DOUBLE)"
+          "     - CAST(samp_c AS DOUBLE) * CAST(samp_c AS DOUBLE))"
+          "    / (CAST(n_sample AS DOUBLE) * (CAST(n_sample AS DOUBLE) - 1.0)))"
+          " / CAST(n_sample AS DOUBLE) / 10000.0 / 1000000.0", 4)} AS var_est_millions
+FROM frame
+ORDER BY segment
+""",
+)
+def survey_ht_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import cents
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        (
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "4d"
+        ).alias("in_sample"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(F.broadcast(orders.select("o_custkey", "o_totalprice")), cust.c_custkey == F.col("o_custkey"))
+        .groupBy("c_custkey", "segment", "in_sample")
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
+    )
+    dec = "decimal(38,0)"
+    frame = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frame"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("long").alias("n_sample"),
+        F.sum(F.col("rev_c").cast(dec)).alias("true_c"),
+        F.sum(F.when(F.col("in_sample"), F.col("rev_c")).otherwise(0).cast(dec)).alias(
+            "samp_c"
+        ),
+        F.sum(
+            F.when(
+                F.col("in_sample"), F.col("rev_c").cast(dec) * F.col("rev_c").cast(dec)
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("samp_c2"),
+    )
+    nf = F.col("n_frame").cast("double")
+    ns = F.col("n_sample").cast("double")
+    sc = F.col("samp_c").cast("double")
+    sc2 = F.col("samp_c2").cast("double")
+    tc = F.col("true_c").cast("double")
+    ht = nf / ns * sc
+    s2 = (ns * sc2 - sc * sc) / (ns * (ns - F.lit(1.0)))
+    return frame.select(
+        "segment",
+        "n_frame",
+        "n_sample",
+        pround(tc / F.lit(100.0), 2).alias("true_total"),
+        pround(ht / F.lit(100.0), 2).alias("ht_estimate"),
+        pround((ht - tc) / tc, 6).alias("rel_error"),
+        pround(
+            nf * nf * (F.lit(1.0) - ns / nf) * s2 / ns / F.lit(10000.0) / F.lit(1e6),
+            4,
+        ).alias("var_est_millions"),
+    ).orderBy("segment")

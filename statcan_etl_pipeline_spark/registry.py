@@ -54,6 +54,7 @@ def _load_all() -> None:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         approx,
         curation,
         curation2,

@@ -179,3 +179,48 @@ def test_theil_sen_pairs_bounded_by_cap(spark, sf_small):
     for r in rows:
         assert r["n_parts_used"] <= 100
         assert r["n_pairs"] <= 100 * 99 // 2
+
+
+def test_chunk_dedup_detects_planted_duplicate(spark, tmp_path):
+    """Two docs sharing an 8-token chunk are both flagged; a doc with
+    all-unique chunks is not."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared + " one two three four five six seven eight", "en", "s", 1),
+        (1, shared + " nine ten eleven twelve thirteen fourteen fifteen sixteen", "en", "s", 1),
+        (2, "only unique words here that repeat nowhere else at all", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["interdoc_chunk_dedup"](spark, str(d)).collect()
+    }
+    assert got[0]["n_dup_chunks"] >= 1
+    assert got[1]["n_dup_chunks"] >= 1
+    assert got[2]["n_dup_chunks"] == 0
+
+
+def test_sniff_media_kind_short_buffers(spark):
+    """Buffers shorter than any magic prefix must classify as
+    octet-stream, not crash."""
+    from statcan_etl_pipeline_spark.operators.multimodal import sniff_media_kind
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"\x89"), (3, b"GI")], "i long, payload binary"
+    )
+    kinds = [r["k"] for r in df.select(sniff_media_kind("payload").alias("k")).collect()]
+    assert kinds == ["application/octet-stream"] * 3
