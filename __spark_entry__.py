@@ -72,6 +72,9 @@ _CHECK_FIRST = [
     "statcan_price_relative_fences",  # new: Tukey-fence relative cleaning
     "brand_return_rate_wilson",  # new: Wilson lower-bound ranking
     "survey_ht_total_audit",  # new: Horvitz-Thompson estimator audit
+    "orders_fiscal_year_summary",  # new: April-March FY rollup + growth
+    "supplier_concentration_cr4",  # new: CR4/CR8 concentration ratios
+    "part_kcore_decomposition",  # new: adaptive-k core peeling, 12 unrolled
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
     "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc

@@ -419,3 +419,150 @@ def survey_ht_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("var_est_millions"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Fiscal-year (April–March) summary — the StatCan reporting calendar:
+# orders rolled up to FY with exact cents, plus FY-over-FY growth via
+# a lag over the bounded fiscal-year series. Integer month arithmetic
+# derives the FY label identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_fiscal_year_summary",
+    oracle=f"""
+WITH fy AS (
+  SELECT CAST(year(o_orderdate)
+              + CASE WHEN month(o_orderdate) >= 4 THEN 0 ELSE -1 END AS BIGINT)
+           AS fy_start,
+         {sql_cents("o_totalprice")} AS vc
+  FROM orders
+), agg AS (
+  SELECT fy_start,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(vc) AS BIGINT) AS rev_c
+  FROM fy GROUP BY fy_start
+)
+SELECT 'FY' || CAST(fy_start AS VARCHAR) || '/'
+         || substr(CAST(fy_start + 1 AS VARCHAR), 3, 2) AS fiscal_year,
+       n_orders,
+       {R("CAST(rev_c AS DOUBLE) / 100.0", 2)} AS revenue,
+       {R("(CAST(rev_c AS DOUBLE)"
+          " - CAST(lag(rev_c) OVER (ORDER BY fy_start) AS DOUBLE))"
+          " / CAST(lag(rev_c) OVER (ORDER BY fy_start) AS DOUBLE)", 6)} AS yoy_growth
+FROM agg
+ORDER BY fiscal_year
+""",
+)
+def orders_fiscal_year_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.portable import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    fy = orders.select(
+        (
+            F.year("o_orderdate")
+            + F.when(F.month("o_orderdate") >= 4, 0).otherwise(-1)
+        )
+        .cast("long")
+        .alias("fy_start"),
+        cents("o_totalprice").alias("vc"),
+    )
+    agg = fy.groupBy("fy_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("vc").cast("long").alias("rev_c"),
+    )
+    wfy = W.orderBy("fy_start")
+    prev = F.lag("rev_c").over(wfy).cast("double")
+    return agg.select(
+        F.concat(
+            F.lit("FY"),
+            F.col("fy_start").cast("string"),
+            F.lit("/"),
+            F.substring((F.col("fy_start") + 1).cast("string"), 3, 2),
+        ).alias("fiscal_year"),
+        "n_orders",
+        pround(F.col("rev_c").cast("double") / F.lit(100.0), 2).alias("revenue"),
+        pround((F.col("rev_c").cast("double") - prev) / prev, 6).alias("yoy_growth"),
+    ).orderBy("fiscal_year")
+
+
+# ---------------------------------------------------------------------------
+# Industry concentration ratios CR4/CR8 per nation (companion to the
+# Herfindahl query): share of each nation's supply revenue held by its
+# top 4 / top 8 suppliers. The rank window partitions by nation
+# (bounded per-partition work — suppliers per nation); shares are
+# exact integer cents ratios.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_concentration_cr4",
+    oracle=f"""
+WITH sup AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         CAST(sum({sql_cents("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+           AS rev_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+), ranked AS (
+  SELECT nation, rev_c,
+         row_number() OVER (PARTITION BY nation ORDER BY rev_c DESC, l_suppkey) AS rk
+  FROM sup
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       {R("CAST(sum(rev_c) AS DOUBLE) / 100.0", 2)} AS total_rev,
+       {R("CAST(sum(CASE WHEN rk <= 4 THEN rev_c ELSE 0 END) AS DOUBLE)"
+          " / CAST(sum(rev_c) AS DOUBLE)", 6)} AS cr4,
+       {R("CAST(sum(CASE WHEN rk <= 8 THEN rev_c ELSE 0 END) AS DOUBLE)"
+          " / CAST(sum(rev_c) AS DOUBLE)", 6)} AS cr8
+FROM ranked
+GROUP BY nation
+ORDER BY nation
+""",
+)
+def supplier_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.portable import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(cents(F.expr("l_extendedprice * (1 - l_discount)")))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    wrk = W.partitionBy("nation").orderBy(F.desc("rev_c"), F.asc("l_suppkey"))
+    ranked = cells.withColumn("rk", F.row_number().over(wrk))
+    top = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("rk") <= k, F.col("rev_c")).otherwise(0)
+    ).cast("double")
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev_c").cast("long").alias("tot"),
+            pround(top(4) / F.sum("rev_c").cast("double"), 6).alias("cr4"),
+            pround(top(8) / F.sum("rev_c").cast("double"), 6).alias("cr8"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            pround(F.col("tot").cast("double") / F.lit(100.0), 2).alias("total_rev"),
+            "cr4",
+            "cr8",
+        )
+        .orderBy("nation")
+    )

@@ -155,3 +155,120 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", "degree", pround("rank", 9).alias("rank")).orderBy(
         "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling of the co-purchase graph with a DATA-ADAPTIVE k =
+# floor(0.7 x median initial degree) (a fixed k is degenerate on a
+# near-uniform random graph: either nothing peels or the cascade
+# empties it; the adaptive threshold tracks the graph's density at any
+# SF, and quantile_disc keeps it an exact integer in both engines).
+# Twelve peels are unrolled into ONE lazy plan (each round is an
+# edges-alive-alive equi-join + degree aggregate, lineage truncated per
+# round via localCheckpoint -- the connected_components precedent), with
+# a `converged` flag comparing the last two rounds in-plan. The DuckDB
+# oracle unrolls the SAME rounds as MATERIALIZED CTEs (plain CTEs are
+# inlined and would expand the edges subtree 2^rounds times).
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    from .analytics3 import _EDGES_SQL
+
+    edges_mat = _EDGES_SQL.replace("AS (", "AS MATERIALIZED (", 3)
+    parts = [
+        f"""WITH {edges_mat}, kk AS MATERIALIZED (
+  SELECT CAST(quantile_disc(d, 0.50) * 7 // 10 AS BIGINT) AS k FROM deg
+), a0 AS MATERIALIZED (SELECT node FROM deg)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""", e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM edges e
+  JOIN a{r - 1} x ON e.u = x.node JOIN a{r - 1} y ON e.v = y.node
+), d{r} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+  GROUP BY node
+), a{r} AS MATERIALIZED (
+  SELECT node FROM d{r} WHERE c >= (SELECT k FROM kk)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT (SELECT k FROM kk) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM a0) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM a{_KCORE_ROUNDS}) AS n_core_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e{_KCORE_ROUNDS}) AS n_core_edges_in,
+       CAST((SELECT count(*) FROM a{_KCORE_ROUNDS - 1})
+            = (SELECT count(*) FROM a{_KCORE_ROUNDS}) AS BIGINT) AS converged"""
+    )
+    return "".join(parts)
+
+
+@query("part_kcore_decomposition", oracle=_kcore_oracle())
+def part_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics3 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg0 = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    kdf = deg0.agg(
+        F.expr(
+            "CAST((CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY d) AS BIGINT)"
+            " * 7) div 10 AS LONG)"
+        ).alias("k")
+    )
+    nodes = deg0.select("node")
+
+    def peel(alive: DataFrame):
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        e = edges.join(au, "u").join(av, "v")
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        survivors = (
+            deg.crossJoin(F.broadcast(kdf))
+            .filter(F.col("c") >= F.col("k"))
+            .select("node")
+        )
+        return e, survivors
+
+    alive = nodes
+    history = [alive]
+    core_edges = edges
+    for _ in range(_KCORE_ROUNDS):
+        core_edges, alive = peel(alive)
+        # truncate lineage each round (the connected_components
+        # precedent) -- without this the unrolled plan re-derives round
+        # r's joins once per downstream aggregate and the optimizer
+        # chokes on the deeply-chained tree
+        alive = alive.localCheckpoint()
+        history.append(alive)
+    n0 = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    nc = history[-1].agg(F.count(F.lit(1)).cast("long").alias("n_core_nodes"))
+    np_ = history[-2].agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
+    ne = core_edges.agg(F.count(F.lit(1)).cast("long").alias("n_core_edges_in"))
+    return (
+        kdf.crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "k",
+            "n_nodes",
+            "n_core_nodes",
+            "n_core_edges_in",
+            (F.col("n_prev") == F.col("n_core_nodes")).cast("long").alias("converged"),
+        )
+    )

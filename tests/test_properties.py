@@ -224,3 +224,16 @@ def test_sniff_media_kind_short_buffers(spark):
     )
     kinds = [r["k"] for r in df.select(sniff_media_kind("payload").alias("k")).collect()]
     assert kinds == ["application/octet-stream"] * 3
+
+
+def test_kcore_converges_and_is_consistent(spark, sf_small):
+    """12 peels must reach the fixed point at test scale, the core can't
+    exceed the node count, and every core node needs >= k core-edge
+    endpoints (so 2*edges >= k*core_nodes)."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    r = QUERIES["part_kcore_decomposition"](spark, sf_small).collect()[0]
+    assert r["converged"] == 1
+    assert 0 <= r["n_core_nodes"] <= r["n_nodes"]
+    if r["n_core_nodes"] > 0:
+        assert 2 * r["n_core_edges_in"] >= r["k"] * r["n_core_nodes"]
