@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "orders_fiscal_year_summary",  # new: April-March FY rollup + growth
     "supplier_concentration_cr4",  # new: CR4/CR8 concentration ratios
     "part_kcore_decomposition",  # new: adaptive-k core peeling, 12 unrolled
+    "doc_feature_hash_embedding",  # new: hashing-trick doc vectors
+    "copurchase_part_similarity",  # touched: self-join-free wedge rewrite
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
     "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc
@@ -83,7 +85,6 @@ _CHECK_FIRST = [
     "revenue_contribution_growth",  # new: MoM growth decomposition by priority
     "dedup_cluster_size_census",  # new: near-dup cluster size distribution
     "embedding_interclass_similarity",  # new: label-centroid cosine matrix
-    "copurchase_part_similarity",  # new: item-item neighborhood Jaccard
     "multimodal_frame_catalog",  # new: mapInPandas frame sampler under full oracle
     "statcan_revision_analysis",  # new: first-vs-final estimate vintage summary
     "stratified_sample_exact",  # new: exact ceil(10%) per-stratum selection

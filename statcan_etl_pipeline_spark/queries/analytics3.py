@@ -900,14 +900,24 @@ def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = adj.join(
         deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node"
     )
-    a = small.alias("a")
-    b = small.alias("b")
+    # wedge enumeration WITHOUT a self-join: build each center's sorted
+    # adjacency array (one shuffle of 2|E| rows) and emit ordered pairs
+    # by a two-stage explode — per-row memory stays O(degree), never
+    # O(degree²), and the adj set isn't shuffled twice for a join.
+    # Identical pair multiset to the a.nbr < b.nbr self-join (the
+    # oracle keeps that formulation).
+    nbrs = small.groupBy("node").agg(F.array_sort(F.collect_list("nbr")).alias("ns"))
+    heads = nbrs.select(
+        F.explode(
+            F.expr(
+                "transform(ns, (x, i) -> named_struct("
+                "'x', x, 'tail', slice(ns, i + 2, size(ns) - i - 1)))"
+            )
+        ).alias("h")
+    ).filter(F.size("h.tail") > 0)
     common = (
-        a.join(
-            b,
-            (F.col("a.node") == F.col("b.node")) & (F.col("a.nbr") < F.col("b.nbr")),
-        )
-        .groupBy(F.col("a.nbr").alias("part_x"), F.col("b.nbr").alias("part_y"))
+        heads.select(F.col("h.x").alias("part_x"), F.explode("h.tail").alias("part_y"))
+        .groupBy("part_x", "part_y")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
     )
     dx = deg.select(F.col("node").alias("part_x"), F.col("d").alias("deg_x"))

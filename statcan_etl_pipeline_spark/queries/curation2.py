@@ -300,3 +300,70 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionByName(t)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing document vectors (the hashing trick): each token is
+# mapped to one of 64 dimensions (md5-derived index) with an
+# md5-derived ±1 sign, giving a model-free 64-dim bag-of-words
+# embedding — the featurization step of a model-less similarity /
+# clustering pipeline, reproducible on any engine (no RNG, no
+# vocabulary broadcast). The per-doc summary (nnz, exact-integer L1
+# norm, argmax dimension with deterministic tie-break) is emitted
+# instead of the raw vector so every column stays hash-comparable.
+# Linear: explode tokens → per-(doc, dim) signed counts → per-doc agg.
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64
+
+
+@query(
+    "doc_feature_hash_embedding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({sql_norm_text("text")}, ' ')) AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 2) AS INTEGER) % {_FH_DIM} AS BIGINT)
+           AS dim,
+         CASE WHEN substr(md5(t), 3, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+), vec AS (
+  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+  FROM feat GROUP BY doc_id, dim
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+       CAST(sum(abs(v)) AS BIGINT) AS l1,
+       CAST(-struct_extract(max(struct_pack(a := abs(v), nd := -dim)), 'nd')
+            AS BIGINT) AS top_dim
+FROM vec
+GROUP BY doc_id
+""",
+)
+def doc_feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("t")
+    )
+    feat = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("long")
+            % _FH_DIM
+        ).alias("dim"),
+        F.when(
+            F.substring(F.md5(F.col("t")), 3, 1).isin(*"01234567"), 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    vec = feat.groupBy("doc_id", "dim").agg(F.sum("sgn").cast("long").alias("v"))
+    return vec.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") != 0, 1).otherwise(0)).cast("long").alias("nnz"),
+        F.sum(F.abs("v")).cast("long").alias("l1"),
+        (-F.max(F.struct(F.abs("v").alias("a"), (-F.col("dim")).alias("nd")))["nd"])
+        .cast("long")
+        .alias("top_dim"),
+    )
