@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "supplier_concentration_cr4",  # new: CR4/CR8 concentration ratios
     "part_kcore_decomposition",  # new: adaptive-k core peeling, 12 unrolled
     "doc_feature_hash_embedding",  # new: hashing-trick doc vectors
+    "shingle_df_spectrum",  # new: hot-shingle cap calibration census
+    "embedding_sq_error_curve",  # new: bits-vs-MSE quantization table
     "copurchase_part_similarity",  # touched: self-join-free wedge rewrite
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join

@@ -58,6 +58,7 @@ def _load_all() -> None:
         approx,
         curation,
         curation2,
+        curation3,
         dedup,
         embeddings,
         etl,
