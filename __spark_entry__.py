@@ -78,6 +78,9 @@ _CHECK_FIRST = [
     "doc_feature_hash_embedding",  # new: hashing-trick doc vectors
     "shingle_df_spectrum",  # new: hot-shingle cap calibration census
     "embedding_sq_error_curve",  # new: bits-vs-MSE quantization table
+    "events_multitouch_attribution",  # new: exact dyadic-weight attribution
+    "events_value_quartile_bands",  # new: discrete quartile band census
+    "lineitem_tax_audit",  # new: effective tax-rate reconciliation
     "copurchase_part_similarity",  # touched: self-join-free wedge rewrite
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join

@@ -566,3 +566,136 @@ def supplier_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-value quartile bands per event type (the under-used `value`
+# column): discrete quartiles (actual stored doubles — bit-exact),
+# then an exact census of which band each event falls in. One
+# aggregate for the bounded quartile table (broadcast back), one
+# linear pass for the census.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_quartile_bands",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.50) AS q2,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {R("q.q1", 4)} AS q1, {R("q.q2", 4)} AS q2, {R("q.q3", 4)} AS q3,
+       CAST(sum(CASE WHEN e.value <= q.q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+       CAST(sum(CASE WHEN e.value > q.q1 AND e.value <= q.q2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b2,
+       CAST(sum(CASE WHEN e.value > q.q2 AND e.value <= q.q3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b3,
+       CAST(sum(CASE WHEN e.value > q.q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_b4
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type, q.q1, q.q2, q.q3
+ORDER BY e.event_type
+""",
+)
+def events_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    v = F.col("value")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q2", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(v <= F.col("q1"), 1).otherwise(0)).cast("long").alias("n_b1"),
+            F.sum(F.when((v > F.col("q1")) & (v <= F.col("q2")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b2"),
+            F.sum(F.when((v > F.col("q2")) & (v <= F.col("q3")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b3"),
+            F.sum(F.when(v > F.col("q3"), 1).otherwise(0)).cast("long").alias("n_b4"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            pround(F.col("q1"), 4).alias("q1"),
+            pround(F.col("q2"), 4).alias("q2"),
+            pround(F.col("q3"), 4).alias("q3"),
+            "n_b1",
+            "n_b2",
+            "n_b3",
+            "n_b4",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective tax-rate audit (the under-used l_tax column): per return
+# flag / line status, exact-cents tax collected vs the discounted
+# base, plus the min/max stored tax rate — a reconciliation check a
+# revenue pipeline runs before publishing. Per-row tax amounts are
+# rounded to cents ONCE (portable floor+0.5) then summed exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_tax_audit",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {R("CAST(sum(" + sql_cents("l_extendedprice * (1 - l_discount)") + ") AS DOUBLE) / 100.0", 2)}
+         AS base_revenue,
+       {R("CAST(sum(" + sql_cents("l_extendedprice * (1 - l_discount) * l_tax") + ") AS DOUBLE) / 100.0", 2)}
+         AS tax_collected,
+       {R("CAST(sum(" + sql_cents("l_extendedprice * (1 - l_discount) * l_tax") + ") AS DOUBLE)"
+          " / CAST(sum(" + sql_cents("l_extendedprice * (1 - l_discount)") + ") AS DOUBLE)", 6)}
+         AS effective_rate,
+       {R("min(l_tax)", 2)} AS min_rate,
+       {R("max(l_tax)", 2)} AS max_rate
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def lineitem_tax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = cents(F.expr("l_extendedprice * (1 - l_discount)"))
+    tax = cents(F.expr("l_extendedprice * (1 - l_discount) * l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(base).cast("long").alias("base_c"),
+            F.sum(tax).cast("long").alias("tax_c"),
+            F.min("l_tax").alias("mnr"),
+            F.max("l_tax").alias("mxr"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_items",
+            pround(F.col("base_c").cast("double") / F.lit(100.0), 2).alias(
+                "base_revenue"
+            ),
+            pround(F.col("tax_c").cast("double") / F.lit(100.0), 2).alias(
+                "tax_collected"
+            ),
+            pround(
+                F.col("tax_c").cast("double") / F.col("base_c").cast("double"), 6
+            ).alias("effective_rate"),
+            pround(F.col("mnr"), 2).alias("min_rate"),
+            pround(F.col("mxr"), 2).alias("max_rate"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -509,3 +509,97 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_5min")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed multi-touch attribution (round 6): every purchase
+# distributes credit to the user's preceding events within 1 hour,
+# weighted 2^-1, 2^-2, ... by recency rank (capped at 20 touches).
+# Because the weights are DYADIC (exact powers of two) every credit,
+# and every sum of credits, is exactly representable — the whole
+# attribution table is float-EXACT in both engines, no rounding
+# needed. The touch lookup is the house banded range join: equi-join
+# on (user, hour-band) probing the purchase's band and the one before
+# (never a fact x fact inequality join), and the recency rank window
+# partitions by the purchase id (bounded by touches-per-hour).
+# ---------------------------------------------------------------------------
+
+_ATTR_CAP = 20
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle=f"""
+WITH pur AS (
+  SELECT event_id AS pid, user_id, ts,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS band
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS band
+  FROM events WHERE event_type <> 'purchase'
+), probes AS (
+  SELECT pid, user_id, ts, band AS pband FROM pur
+  UNION ALL
+  SELECT pid, user_id, ts, band - 1 FROM pur
+), cand AS (
+  SELECT p.pid, t.event_id, t.event_type, t.ts AS tts, p.ts AS pts
+  FROM probes p JOIN touch t
+    ON p.user_id = t.user_id AND p.pband = t.band
+  WHERE t.ts < p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
+), ranked AS (
+  SELECT pid, event_type,
+         row_number() OVER (PARTITION BY pid ORDER BY tts DESC, event_id) AS rk
+  FROM cand
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       sum(power(2.0, -rk)) AS credit
+FROM ranked
+WHERE rk <= {_ATTR_CAP}
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    band = F.floor(F.unix_micros("ts") / F.lit(3600000000)).cast("long")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        band.alias("pband"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        "event_type",
+        band.alias("tband"),
+    )
+    probes = pur.select("pid", "pu", "pts", "pband").unionAll(
+        pur.select("pid", "pu", "pts", (F.col("pband") - 1).alias("pband"))
+    )
+    cand = probes.join(
+        touch,
+        (F.col("pu") == F.col("tu")) & (F.col("pband") == F.col("tband")),
+    ).filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    wrk = W.partitionBy("pid").orderBy(F.desc("tts"), F.asc("event_id"))
+    ranked = cand.select(
+        "pid", "event_type", F.row_number().over(wrk).alias("rk")
+    ).filter(F.col("rk") <= _ATTR_CAP)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.pow(F.lit(2.0), -F.col("rk").cast("double"))).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

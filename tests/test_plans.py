@@ -518,3 +518,11 @@ def test_cooccurrence_no_cartesian(spark, sf_small):
     1-row totals crossJoin."""
     plan = _plan(spark, "events_type_cooccurrence", sf_small)
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_banded_join_no_cartesian(spark, sf_small):
+    """events_multitouch_attribution's touch lookup must be the banded
+    equi-join (user, hour-band) — no fact-by-fact nested loop."""
+    plan = _plan(spark, "events_multitouch_attribution", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

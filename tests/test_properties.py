@@ -237,3 +237,26 @@ def test_kcore_converges_and_is_consistent(spark, sf_small):
     assert 0 <= r["n_core_nodes"] <= r["n_nodes"]
     if r["n_core_nodes"] > 0:
         assert 2 * r["n_core_edges_in"] >= r["k"] * r["n_core_nodes"]
+
+
+def test_attribution_credit_bounded_by_purchases(spark, sf_small):
+    """Each purchase hands out < 1 total credit (sum of 2^-k), so the
+    corpus-wide credit must be strictly less than the purchase count;
+    credits are dyadic-exact, so equality tests are safe."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_multitouch_attribution"](spark, sf_small).collect()
+    total_credit = sum(r["credit"] for r in rows)
+    n_purchases = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert 0 < total_credit < n_purchases
+    # dyadic exactness: every credit times 2^20 must be an integer
+    for r in rows:
+        scaled = r["credit"] * (1 << 20)
+        assert scaled == int(scaled), r
