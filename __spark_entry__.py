@@ -81,6 +81,8 @@ _CHECK_FIRST = [
     "events_multitouch_attribution",  # new: exact dyadic-weight attribution
     "events_value_quartile_bands",  # new: discrete quartile band census
     "lineitem_tax_audit",  # new: effective tax-rate reconciliation
+    "orders_latency_qq_by_priority",  # new: matched-decile QQ diagnostic
+    "events_error_pchart",  # new: SPC p-chart with 3-sigma limits
     "copurchase_part_similarity",  # touched: self-join-free wedge rewrite
     "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
     "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join

@@ -699,3 +699,173 @@ def lineitem_tax_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# QQ comparison of ship latency between URGENT and LOW priorities:
+# matched discrete deciles (actual integer day values — bit-exact)
+# side by side, the distribution-shift diagnostic that goes with the
+# KS test. Two bounded decile aggregates joined on the decile index.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_latency_qq_by_priority",
+    oracle=f"""
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+), qwide AS (
+  SELECT priority,
+         quantile_disc(days, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lat GROUP BY priority
+), q AS (
+  SELECT priority, CAST(i AS INTEGER) AS decile,
+         CAST(qs[i] AS BIGINT) AS days_q, n
+  FROM qwide, unnest(range(1, 10)) t(i)
+)
+SELECT a.decile,
+       a.days_q AS urgent_days, b.days_q AS low_days,
+       CAST(b.days_q - a.days_q AS BIGINT) AS gap_days,
+       a.n AS n_urgent, b.n AS n_low
+FROM q a JOIN q b ON a.decile = b.decile
+WHERE a.priority = '1-URGENT' AND b.priority = '5-LOW'
+ORDER BY a.decile
+""",
+)
+def orders_latency_qq_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    # Spark's percentile_disc needs a LITERAL fraction — nine aggregate
+    # columns, stacked back to (decile, days_q) rows
+    aggs = [
+        F.expr(f"percentile_disc({d / 10.0}) WITHIN GROUP (ORDER BY days)")
+        .cast("long")
+        .alias(f"q{d}")
+        for d in range(1, 10)
+    ]
+    wide = lat.groupBy("priority").agg(
+        *aggs, F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stack = ", ".join(f"{d}, q{d}" for d in range(1, 10))
+    q = wide.selectExpr(
+        "priority", "n", f"stack(9, {stack}) AS (decile, days_q)"
+    ).select("priority", F.col("decile").cast("int").alias("decile"), "days_q", "n")
+    a = q.filter(F.col("priority") == "1-URGENT").select(
+        "decile", F.col("days_q").alias("urgent_days"), F.col("n").alias("n_urgent")
+    )
+    b = q.filter(F.col("priority") == "5-LOW").select(
+        F.col("decile").alias("d2"),
+        F.col("days_q").alias("low_days"),
+        F.col("n").alias("n_low"),
+    )
+    return (
+        a.join(b, a.decile == b.d2)
+        .select(
+            "decile",
+            "urgent_days",
+            "low_days",
+            (F.col("low_days") - F.col("urgent_days")).cast("long").alias("gap_days"),
+            "n_urgent",
+            "n_low",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p-chart (attribute control chart) on the daily error-event
+# proportion: 3σ limits around the pooled p̄, per-day n-adjusted
+# (UCL/LCL = p̄ ± 3·sqrt(p̄(1−p̄)/n)) — classic SPC over the bounded
+# daily aggregate, with the pooled rates exact integer ratios and the
+# flag a comparison of identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_error_pchart",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errs
+  FROM events GROUP BY 1
+), pooled AS (
+  SELECT CAST(sum(errs) AS BIGINT) AS tot_e, CAST(sum(n) AS BIGINT) AS tot_n
+  FROM daily
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n, d.errs,
+       {R("CAST(d.errs AS DOUBLE) / CAST(d.n AS DOUBLE)", 6)} AS p,
+       {R("CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)"
+          " + 3.0 * sqrt(CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)"
+          " * (1.0 - CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE))"
+          " / CAST(d.n AS DOUBLE))", 6)} AS ucl,
+       {R("CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)"
+          " - 3.0 * sqrt(CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)"
+          " * (1.0 - CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE))"
+          " / CAST(d.n AS DOUBLE))", 6)} AS lcl,
+       CAST(CASE WHEN CAST(d.errs AS DOUBLE) / CAST(d.n AS DOUBLE)
+                      > CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)
+                        + 3.0 * sqrt(CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)
+                          * (1.0 - CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE))
+                          / CAST(d.n AS DOUBLE))
+                   OR CAST(d.errs AS DOUBLE) / CAST(d.n AS DOUBLE)
+                      < CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)
+                        - 3.0 * sqrt(CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE)
+                          * (1.0 - CAST(p0.tot_e AS DOUBLE) / CAST(p0.tot_n AS DOUBLE))
+                          / CAST(d.n AS DOUBLE))
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM daily d CROSS JOIN pooled p0
+ORDER BY day
+""",
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    pooled = daily.agg(
+        F.sum("errs").cast("long").alias("tot_e"),
+        F.sum("n").cast("long").alias("tot_n"),
+    )
+    p = F.col("errs").cast("double") / F.col("n").cast("double")
+    pbar = F.col("tot_e").cast("double") / F.col("tot_n").cast("double")
+    half = F.lit(3.0) * F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double"))
+    ucl = pbar + half
+    lcl = pbar - half
+    return (
+        daily.crossJoin(F.broadcast(pooled))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "errs",
+            pround(p, 6).alias("p"),
+            pround(ucl, 6).alias("ucl"),
+            pround(lcl, 6).alias("lcl"),
+            F.when((p > ucl) | (p < lcl), 1).otherwise(0).cast("long").alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("day")
+    )
