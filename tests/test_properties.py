@@ -260,3 +260,57 @@ def test_attribution_credit_bounded_by_purchases(spark, sf_small):
     for r in rows:
         scaled = r["credit"] * (1 << 20)
         assert scaled == int(scaled), r
+
+
+def test_median_polish_final_col_medians_are_zero(spark, sf_small):
+    """After the final column sweep, the discrete median of residuals
+    within every priority must be EXACTLY zero (integer medians
+    subtracted from integers — float-free)."""
+    import statistics
+
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["orders_median_polish"](spark, sf_small).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["priority"], []).append(round(r["residual"] * 100))
+    for prio, res in by_col.items():
+        assert statistics.median_low(sorted(res)) == 0 or statistics.median_high(
+            sorted(res)
+        ) == 0, (prio, sorted(res)[:5])
+
+
+def test_wilson_lower_bound_never_exceeds_rate(spark, sf_small):
+    """The Wilson lower bound must sit at or below the raw return rate
+    for every brand, and within [0, 1]."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    for r in QUERIES["brand_return_rate_wilson"](spark, sf_small).collect():
+        assert 0.0 <= r["wilson_lb"] <= r["return_rate"] <= 1.0, r
+
+
+def test_qq_deciles_monotone(spark, sf_small):
+    """Matched QQ deciles must be non-decreasing in the decile index
+    for both priorities."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["orders_latency_qq_by_priority"](spark, sf_small).collect(),
+        key=lambda r: r["decile"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["urgent_days"] <= b["urgent_days"]
+        assert a["low_days"] <= b["low_days"]
+
+
+def test_pchart_limits_bracket_pooled_rate(spark, sf_small):
+    """Every day's control limits must bracket the pooled rate, and any
+    out_of_control flag must match the p-vs-limits comparison."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_error_pchart"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["lcl"] <= r["ucl"]
+        flagged = r["p"] > r["ucl"] or r["p"] < r["lcl"]
+        assert r["out_of_control"] == (1 if flagged else 0), r
