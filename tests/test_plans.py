@@ -526,3 +526,29 @@ def test_attribution_banded_join_no_cartesian(spark, sf_small):
     plan = _plan(spark, "events_multitouch_attribution", sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_denton_year_aggregates_broadcast(spark, sf_small):
+    """statcan_denton_prorata joins its two yearly benchmark aggregates
+    back to the monthly indicator as broadcasts — the monthly side must
+    never shuffle for a join against a ~7-row aggregate."""
+    plan = _plan(spark, "statcan_denton_prorata", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hash_no_udf_in_plan(spark, sf_small):
+    """doc_feature_hash_embedding's hashing trick must stay JVM-side —
+    no Python evaluation nodes anywhere."""
+    plan = _plan(spark, "doc_feature_hash_embedding", sf_small)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tax_audit_single_scan(spark, sf_small):
+    """lineitem_tax_audit is one aggregation pass — exactly one lineitem
+    scan in the executed plan."""
+    plan = _plan(spark, "lineitem_tax_audit", sf_small)
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, plan
