@@ -28,92 +28,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    "parameterized_sql_topn",  # named-parameter SQL binding
-    "lateral_alias_margin",  # lateral column alias chain
-    "hard_negative_mining",  # contrastive near-miss negatives
-    "tokenizer_fertility_by_lang",  # tokens-per-char census
-    "embedding_label_outliers",  # centroid-distance label-noise QA
-    "statcan_chain_linked_index",  # chain-linked index splice
-    "orders_sla_fulfillment",  # 30/60/90-day SLA bands
-    "doc_length_powerlaw_by_source",  # power-of-2 length census
-    "ks_order_value_by_priority",  # new: exact-integer two-sample KS distance
-    "mwu_order_value_segments",  # new: Mann-Whitney U / AUC, midrank-exact
-    "anova_order_value_by_priority",  # new: ANOVA F from ordered-fold moments
-    "interdoc_chunk_dedup",  # new: cross-doc repeated 8-token chunk scan
-    "embedding_dim_stats",  # new: per-dimension quantizer calibration stats
-    "statcan_denton_prorata",  # new: pro-rata temporal benchmarking
-    "statcan_x11_trend",  # new: 2x12 centered MA trend, calendar-aligned
-    "holt_linear_daily",  # new: Holt level+trend sequential fold
-    "seasonal_naive_backtest",  # new: lag-7 backtest scorecard
-    "embedding_pca_top_component",  # new: matrix-free power-iteration PCA
-    "mmr_diversified_topk",  # new: MMR diversified re-ranking
-    "nation_type_rca",  # new: Balassa revealed comparative advantage
-    "customer_repurchase_cycle",  # new: inter-order gap percentiles
-    "survey_raking_calibration",  # new: IPF raking to population margins
-    "events_markov_stationary",  # new: 8-step Markov chain distribution
-    "events_rolling_7d_active_users",  # new: fan-out rolling distinct actives
-    "statcan_hotdeck_imputation",  # new: donor-median imputation audit
-    "dedup_token_savings_by_source",  # new: end-to-end dedup impact report
-    "orders_median_polish",  # new: float-free Tukey two-way decomposition
-    "corpus_bpe_merges",  # new: distributed BPE merge discovery
-    "orders_lorenz_deciles",  # new: exact decile Lorenz curve
-    "price_index_contributions",  # new: pp contribution decomposition
-    "theil_sen_price_qty_by_type",  # new: capped-pairs robust regression
-    "price_index_chained_fisher",  # new: order-pinned chained index fold
-    "knn_label_eval",  # new: majority-of-kNN label audit
-    "rotation_panel_estimates",  # new: md5 rotation panels + between-CV
-    "statcan_allocation_largest_remainder",  # new: exact Hamilton apportionment
-    "events_burstiness_fano",  # new: Fano/burstiness census
-    "events_type_cooccurrence",  # new: user-level type co-occurrence lift
-    "spearman_price_acctbal",  # new: exact two-pass midrank Spearman
-    "orders_runs_test_daily",  # new: Wald-Wolfowitz runs test
-    "corpus_dataset_card",  # new: single-row dataset release card
-    "vocab_coverage_curve",  # new: top-k token coverage, TakeOrdered
-    "statcan_price_relative_fences",  # new: Tukey-fence relative cleaning
-    "brand_return_rate_wilson",  # new: Wilson lower-bound ranking
-    "survey_ht_total_audit",  # new: Horvitz-Thompson estimator audit
-    "orders_fiscal_year_summary",  # new: April-March FY rollup + growth
-    "supplier_concentration_cr4",  # new: CR4/CR8 concentration ratios
-    "part_kcore_decomposition",  # new: adaptive-k core peeling, 12 unrolled
-    "doc_feature_hash_embedding",  # new: hashing-trick doc vectors
-    "shingle_df_spectrum",  # new: hot-shingle cap calibration census
-    "embedding_sq_error_curve",  # new: bits-vs-MSE quantization table
-    "events_multitouch_attribution",  # new: exact dyadic-weight attribution
-    "events_value_quartile_bands",  # new: discrete quartile band census
-    "lineitem_tax_audit",  # new: effective tax-rate reconciliation
-    "orders_latency_qq_by_priority",  # new: matched-decile QQ diagnostic
-    "events_error_pchart",  # new: SPC p-chart with 3-sigma limits
-    "copurchase_part_similarity",  # touched: self-join-free wedge rewrite
-    "bom_explosion_recursive",  # new: Spark-side WITH RECURSIVE (one SQL text both engines)
-    "orders_calendar_spine_recursive",  # new: recursive month spine + gap-preserving join
-    "doc_novelty_by_order",  # new: first-occurrence crawl novelty per doc
-    "corpus_cross_source_overlap",  # new: exact shingle Jaccard between source pairs
-    "events_ohlc_hourly",  # new: OHLC resample bars (min_by/max_by struct key)
-    "revenue_contribution_growth",  # new: MoM growth decomposition by priority
-    "dedup_cluster_size_census",  # new: near-dup cluster size distribution
-    "embedding_interclass_similarity",  # new: label-centroid cosine matrix
-    "multimodal_frame_catalog",  # new: mapInPandas frame sampler under full oracle
-    "statcan_revision_analysis",  # new: first-vs-final estimate vintage summary
-    "stratified_sample_exact",  # new: exact ceil(10%) per-stratum selection
-    "collated_segment_rollup",  # new: Spark-4 COLLATE UTF8_LCASE grouping
-    "er_supplier_name_pairs",  # new: FastSS deletion-neighborhood entity resolution
-    "session_top_paths",  # new: session journey mining (top event-type paths)
-    "user_weekly_survival",  # new: discrete cohort survival curve
-    "join_key_skew_report",  # new: pre-shuffle join-key skew diagnostic
-    "events_ewma_daily",  # new: sequential-fold EWMA (bit-identical cross-engine)
-    "price_index_fisher",  # new: Laspeyres/Paasche/Fisher vs 1995 base basket
-    "customer_value_migration",  # new: two-pass exact-rank quartile migration
-    "events_error_alert_transitions",  # new: integer-threshold alert state machine
-    "orders_backlog_aging",  # new: open-order aging as-of broadcast anchor
-    "minhash_jaccard_calibration",  # new: sketch est-vs-exact Jaccard audit
-    "nation_trade_balance",  # new: bilateral flow matrix, symmetric-key fold
-    "statcan_cell_suppression",  # new: disclosure-control count+dominance rules
-    "statcan_cv_quality_grades",  # new: CV letter grades, exact-integer boundaries
-    "statcan_calendarization",  # new: interval→month proration (temporal disagg)
-    "ngram_pmi_collocations",  # new: PMI-lift bigram collocations
-    "business_day_ship_latency",  # new: closed-form weekday interval math
-    "events_cusum_drift",  # new: integer CUSUM change-point fold
-    "events_autocorr_lags",  # new: calendar-aligned lag autocorrelation
+    # --- the 36 round-6 queries that have never been inside a driver
+    # window (VERDICT r6 item 1): they fill positions 0-35 so
+    # CORRECTNESS_r07 clears the whole backlog in one pass ---
+    "events_multitouch_attribution",  # exact dyadic-weight attribution
+    "events_value_quartile_bands",  # discrete quartile band census
+    "lineitem_tax_audit",  # effective tax-rate reconciliation
+    "orders_latency_qq_by_priority",  # matched-decile QQ diagnostic
+    "events_error_pchart",  # SPC p-chart with 3-sigma limits
+    "copurchase_part_similarity",  # self-join-free wedge rewrite
+    "bom_explosion_recursive",  # Spark-side WITH RECURSIVE (one SQL text both engines)
+    "orders_calendar_spine_recursive",  # recursive month spine + gap-preserving join
+    "doc_novelty_by_order",  # first-occurrence crawl novelty per doc
+    "corpus_cross_source_overlap",  # exact shingle Jaccard between source pairs
+    "events_ohlc_hourly",  # OHLC resample bars (min_by/max_by struct key)
+    "revenue_contribution_growth",  # MoM growth decomposition by priority
+    "dedup_cluster_size_census",  # near-dup cluster size distribution
+    "embedding_interclass_similarity",  # label-centroid cosine matrix
+    "multimodal_frame_catalog",  # mapInPandas frame sampler under full oracle
+    "statcan_revision_analysis",  # first-vs-final estimate vintage summary
+    "stratified_sample_exact",  # exact ceil(10%) per-stratum selection
+    "collated_segment_rollup",  # Spark-4 COLLATE UTF8_LCASE grouping
+    "er_supplier_name_pairs",  # FastSS deletion-neighborhood entity resolution
+    "session_top_paths",  # session journey mining (top event-type paths)
+    "user_weekly_survival",  # discrete cohort survival curve
+    "join_key_skew_report",  # pre-shuffle join-key skew diagnostic
+    "events_ewma_daily",  # sequential-fold EWMA (bit-identical cross-engine)
+    "price_index_fisher",  # Laspeyres/Paasche/Fisher vs 1995 base basket
+    "customer_value_migration",  # two-pass exact-rank quartile migration
+    "events_error_alert_transitions",  # integer-threshold alert state machine
+    "orders_backlog_aging",  # open-order aging as-of broadcast anchor
+    "minhash_jaccard_calibration",  # sketch est-vs-exact Jaccard audit
+    "nation_trade_balance",  # bilateral flow matrix, symmetric-key fold
+    "statcan_cell_suppression",  # disclosure-control count+dominance rules
+    "statcan_cv_quality_grades",  # CV letter grades, exact-integer boundaries
+    "statcan_calendarization",  # interval→month proration (temporal disagg)
+    "ngram_pmi_collocations",  # PMI-lift bigram collocations
+    "business_day_ship_latency",  # closed-form weekday interval math
+    "events_cusum_drift",  # integer CUSUM change-point fold
+    "events_autocorr_lags",  # calendar-aligned lag autocorrelation
+    # --- round-7 new/touched queries: every query added or modified
+    # this round re-verifies inside the same window ---
+    "approx_distinct_parts_by_flag",  # r7: now full-oracle error-band audit
+    "approx_quantiles_order_value",  # r7: now full-oracle rank-band audit
+    "shingle_df_spectrum",  # r7: integer bit-length bin (ADVICE fix)
+    "survey_ht_total_audit",  # r7: fact-side broadcast dropped (ADVICE fix)
+    "asof_join_cogrouped",  # r7 new: cogrouped applyInPandas merge_asof
+    "doc_token_arrow_stats",  # r7 new: mapInArrow corpus token stats
+    "orders_column_profile",  # r7 new: ANALYZE-style column profiler
+    "events_hour_of_week_profile",  # r7 new: dow-x-hour traffic fingerprint
+    "doc_script_mix",  # r7 new: charset-class corpus QA census
+    "supplier_ship_latency_by_mode",  # r7 new: discrete latency percentiles
+    "events_zseason_weekday_lift",  # r7 new: weekday lift vs daily totals
+    "part_brand_price_ladder",  # r7 new: within-brand price positioning
+    "orders_priority_mix_shift",  # r7 new: yearly priority mix-shift decomposition
+    "lineitem_quantity_mode_profile",  # r7 new: exact per-flag quantity mode
+    # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -164,9 +134,7 @@ _CHECK_FIRST = [
     "corpus_vocab_stats",
     "embedding_norm_stats",
     "knn_bruteforce_cosine",
-    "approx_distinct_parts_by_flag",
-    "approx_quantiles_order_value",
-    # --- touched this round (already driver-green in r2-r5; pytest parity re-covers) ---
+    # --- touched in r6 (already driver-green in r2-r5; pytest parity re-covers) ---
     "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
     "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
     "text_quality_score",  # trailing global orderBy dropped

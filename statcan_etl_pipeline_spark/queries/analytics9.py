@@ -381,8 +381,13 @@ def survey_ht_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("in_sample"),
     )
     orders = load_table(spark, sf_dir, "orders")
+    # Shuffle join on purpose: orders AND customer are both fact-scale at
+    # 100 TB, so neither side may be broadcast (Spark's 8 GB broadcast
+    # hard limit would kill the query). tests/test_plans.py pins that no
+    # broadcast hint reaches this join.
     rev = (
-        cust.join(F.broadcast(orders.select("o_custkey", "o_totalprice")), cust.c_custkey == F.col("o_custkey"))
+        orders.select("o_custkey", "o_totalprice")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "segment", "in_sample")
         .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
     )

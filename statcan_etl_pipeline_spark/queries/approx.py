@@ -1,11 +1,22 @@
 """Approximate aggregates — the 100 TB substitutes for exact distinct
-counts and percentiles. Sketch internals differ per engine, so these
-are rows-only for the driver; tests/test_approx.py bounds their error
-against the exact answers.
+counts and percentiles.
 
 - approx_count_distinct: HyperLogLog++ (rsd 2%) — constant memory vs
   the O(distinct) hash set an exact count needs per group.
 - percentile_approx: Greenwald-Khanna — single pass, no full sort.
+
+The raw sketch estimates are engine-private (Spark's HLL++/GK registers
+can never hash-match DuckDB's HLL/t-digest), so instead of emitting the
+estimates these queries emit *error-band verdicts*: the exact answer
+(portable integer arithmetic, identical in both engines) plus a
+`*_within_band` boolean recording that the engine's OWN sketch landed
+inside its OWN published guarantee. Each engine evaluates its local
+sketch against its local band — Spark: 3·rsd for HLL++, rank error
+n/accuracy (+1 slack) for GK; DuckDB: the same 6% relative band for its
+HLL, a 1% rank band for its t-digest (t-digest has no hard guarantee;
+1% is far above its observed mid-quantile error). A sketch regression
+in either engine flips a boolean and fails the driver's hash gate.
+tests/test_approx.py additionally bounds the raw estimates.
 """
 
 from __future__ import annotations
@@ -18,32 +29,174 @@ from ..functions.portable import sql_round
 from ..registry import query
 
 
-@query("approx_distinct_parts_by_flag")  # rows-only: HLL sketch is engine-specific
+@query(
+    "approx_distinct_parts_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       -- DuckDB's own HLL vs the shared 6% relative band, integer math
+       abs(CAST(approx_count_distinct(l_partkey) AS BIGINT)
+           - count(DISTINCT l_partkey)) * 100
+         <= 6 * count(DISTINCT l_partkey) AS parts_within_band,
+       abs(CAST(approx_count_distinct(l_orderkey) AS BIGINT)
+           - count(DISTINCT l_orderkey)) * 100
+         <= 6 * count(DISTINCT l_orderkey) AS orders_within_band
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def approx_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count audit: exact counts + within-band verdicts.
+
+    `abs(approx-exact)*100 <= 6*exact` is pure integer arithmetic, so
+    the verdict itself is engine-portable; the 6% band is 3× the rsd
+    requested from Spark's sketch (≈3σ) and comfortably above DuckDB's
+    default HLL error. Scale: one groupBy — the whole point of the
+    sketch is O(1) state per group where countDistinct carries the
+    O(distinct) set (exact columns here are the audit's ground truth)."""
     li = load_table(spark, sf_dir, "lineitem")
+    ep = F.count_distinct(F.col("l_partkey")).cast("long")
+    eo = F.count_distinct(F.col("l_orderkey")).cast("long")
+    ap = F.approx_count_distinct("l_partkey", rsd=0.02).cast("long")
+    ao = F.approx_count_distinct("l_orderkey", rsd=0.02).cast("long")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            ep.alias("exact_parts"),
+            eo.alias("exact_orders"),
+            (F.abs(ap - ep) * 100 <= 6 * ep).alias("parts_within_band"),
+            (F.abs(ao - eo) * 100 <= 6 * eo).alias("orders_within_band"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query("approx_quantiles_order_value")  # rows-only: GK sketch is engine-specific
+# GK accuracy parameter (Spark) and the derived rank-tolerance bands.
+# Spark guarantee: rank error <= n/accuracy (+1 slack for the floor/ceil
+# rank convention); DuckDB t-digest band: 1% of n (+1), far above its
+# observed error at mid/upper quantiles.
+GK_ACCURACY = 10000
+
+
+def _quantile_band_oracle() -> str:
+    # integer ceil(a/b) = (a + b - 1) // b throughout — no float ranks
+    return f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), g AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(approx_quantile(pc, 0.5) AS BIGINT) AS a50,
+         CAST(approx_quantile(pc, 0.9) AS BIGINT) AS a90
+  FROM j GROUP BY segment
+), t AS (
+  SELECT segment, n, a50, a90,
+         (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90,
+         (n + 99) // 100 + 1 AS tol
+  FROM g
+), r AS (
+  SELECT j.segment, j.pc, row_number() OVER (PARTITION BY j.segment ORDER BY j.pc) AS rn
+  FROM j
+), chk AS (
+  SELECT r.segment,
+         max(t.n) AS n_orders,
+         max(CASE WHEN r.rn = t.k50 THEN r.pc END) AS e50,
+         max(CASE WHEN r.rn = t.k90 THEN r.pc END) AS e90,
+         CAST(sum(CASE WHEN r.pc < t.a50 THEN 1 ELSE 0 END) AS BIGINT) AS below50,
+         CAST(sum(CASE WHEN r.pc <= t.a50 THEN 1 ELSE 0 END) AS BIGINT) AS atmost50,
+         CAST(sum(CASE WHEN r.pc < t.a90 THEN 1 ELSE 0 END) AS BIGINT) AS below90,
+         CAST(sum(CASE WHEN r.pc <= t.a90 THEN 1 ELSE 0 END) AS BIGINT) AS atmost90,
+         max(t.k50) AS k50, max(t.k90) AS k90, max(t.tol) AS tol
+  FROM r JOIN t ON r.segment = t.segment
+  GROUP BY r.segment
+)
+SELECT segment AS c_mktsegment, n_orders,
+       {sql_round("CAST(e50 AS DOUBLE) / 100.0", 2)} AS exact_p50,
+       (below50 + 1 <= k50 + tol AND atmost50 >= k50 - tol) AS p50_within_band,
+       {sql_round("CAST(e90 AS DOUBLE) / 100.0", 2)} AS exact_p90,
+       (below90 + 1 <= k90 + tol AND atmost90 >= k90 - tol) AS p90_within_band
+FROM chk
+ORDER BY c_mktsegment
+"""
+
+
+@query("approx_quantiles_order_value", oracle=_quantile_band_oracle())
 def approx_quantiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK percentile audit: exact discrete percentiles + rank-band
+    verdicts for the engine's own sketch.
+
+    The approx value's rank interval in the sorted group is
+    [below+1, atmost] (ties give it width); the verdict is TRUE iff
+    that interval intersects [k - tol, k + tol]. Spark's tol is the GK
+    guarantee ceil(n/accuracy)+1; DuckDB's (oracle side) is a 1% band
+    for its t-digest. Exact percentiles are discrete order statistics
+    on integer cents — no interpolation, so both engines agree bit-for-
+    bit. Scale: the rank window partitions by market segment (bounded
+    fan-out — |segments| partitions of ~n/|segments| rows); the
+    production path at 100 TB is the sketch itself, the exact rank pass
+    exists to audit it."""
+    from pyspark.sql import Window as W
+
+    from ..functions.portable import cents, pround
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
-        )
-        .orderBy("c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), cents("o_totalprice").alias("pc")
     )
+    n = F.count(F.lit(1)).cast("long")
+    g = j.groupBy("segment").agg(
+        n.alias("n"),
+        F.percentile_approx("pc", 0.5, GK_ACCURACY).cast("long").alias("a50"),
+        F.percentile_approx("pc", 0.9, GK_ACCURACY).cast("long").alias("a90"),
+    )
+    t = g.select(
+        "segment",
+        "n",
+        "a50",
+        "a90",
+        ((F.col("n") + 1) / 2).cast("long").alias("k50"),
+        F.floor((9 * F.col("n") + 9) / 10).cast("long").alias("k90"),
+        (F.floor((F.col("n") + GK_ACCURACY - 1) / GK_ACCURACY) + 1)
+        .cast("long")
+        .alias("tol"),
+    )
+    r = j.select(
+        "segment",
+        "pc",
+        F.row_number().over(W.partitionBy("segment").orderBy("pc")).alias("rn"),
+    )
+    chk = (
+        r.join(F.broadcast(t), "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max(F.when(F.col("rn") == F.col("k50"), F.col("pc"))).alias("e50"),
+            F.max(F.when(F.col("rn") == F.col("k90"), F.col("pc"))).alias("e90"),
+            F.sum((F.col("pc") < F.col("a50")).cast("long")).alias("below50"),
+            F.sum((F.col("pc") <= F.col("a50")).cast("long")).alias("atmost50"),
+            F.sum((F.col("pc") < F.col("a90")).cast("long")).alias("below90"),
+            F.sum((F.col("pc") <= F.col("a90")).cast("long")).alias("atmost90"),
+            F.max("k50").alias("k50"),
+            F.max("k90").alias("k90"),
+            F.max("tol").alias("tol"),
+        )
+    )
+    band = lambda lo, hi, k: (  # noqa: E731
+        (F.col(lo) + 1 <= F.col(k) + F.col("tol"))
+        & (F.col(hi) >= F.col(k) - F.col("tol"))
+    )
+    return chk.select(
+        F.col("segment").alias("c_mktsegment"),
+        "n_orders",
+        pround(F.col("e50").cast("double") / 100.0, 2).alias("exact_p50"),
+        band("below50", "atmost50", "k50").alias("p50_within_band"),
+        pround(F.col("e90").cast("double") / 100.0, 2).alias("exact_p90"),
+        band("below90", "atmost90", "k90").alias("p90_within_band"),
+    ).orderBy("c_mktsegment")
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,12 @@ WITH sh AS (
 ), df AS (
   SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s
 ), binned AS (
-  SELECT CAST(floor(log2(df)) AS BIGINT) AS bin, df FROM df
+  -- integer bit-length, NOT floor(log2(df)): Spark computes LOG2 as
+  -- ln(x)/ln(2) while DuckDB calls std::log2, and a 1-ulp difference at
+  -- df = 2^k would flip the floor and shift the bin. length(bin(df))-1
+  -- is integer-derived in both engines, so the bin is exact by
+  -- construction.
+  SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bin, df FROM df
 )
 SELECT bin,
        CAST(power(2, bin) AS BIGINT) AS df_from,
@@ -59,7 +64,12 @@ def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    binned = df.select(F.floor(F.log2("df")).cast("long").alias("bin"), "df")
+    # integer bit-length (length(bin(df)) - 1), mirroring the oracle: no
+    # math-library log2 in either engine, so power-of-two df values can
+    # never straddle a bin boundary by 1 ulp.
+    binned = df.select(
+        (F.length(F.bin("df")) - 1).cast("long").alias("bin"), "df"
+    )
     return (
         binned.groupBy("bin")
         .agg(

@@ -56,6 +56,7 @@ def _load_all() -> None:
         analytics8,
         analytics9,
         approx,
+        arrowexec,
         curation,
         curation2,
         curation3,

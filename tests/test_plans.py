@@ -552,3 +552,30 @@ def test_tax_audit_single_scan(spark, sf_small):
         ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln
     ]
     assert len(scans) == 1, plan
+
+
+def test_ht_audit_no_fact_broadcast(spark, sf_small):
+    """survey_ht_total_audit joins two fact-scale tables (orders x
+    customer) — neither side may carry a broadcast hint: at 100 TB a
+    fact-side broadcast exceeds Spark's 8 GB broadcast hard limit. With
+    autoBroadcastJoinThreshold disabled, any BroadcastHashJoin left in
+    the static plan could only come from an explicit hint — so there
+    must be none."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "survey_ht_total_audit", sf_small)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_shingle_spectrum_bin_is_integer_derived(spark, sf_small):
+    """shingle_df_spectrum's power-of-2 bin must come from integer bit
+    length (length(bin(df)) - 1), never floor(log2(df)) — Spark's LOG2
+    is ln/ln while DuckDB's is std::log2, and a 1-ulp gap at df = 2^k
+    would flip the floor cross-engine."""
+    plan = _plan(spark, "shingle_df_spectrum", sf_small)
+    assert "LOG" not in plan.upper().replace("CATALOG", ""), plan
+    assert "bin(" in plan, plan
