@@ -78,7 +78,7 @@ _CHECK_FIRST = [
     "orders_column_profile",  # r7 new: ANALYZE-style column profiler
     "events_hour_of_week_profile",  # r7 new: dow-x-hour traffic fingerprint
     "doc_script_mix",  # r7 new: charset-class corpus QA census
-    "supplier_ship_latency_by_mode",  # r7 new: discrete latency percentiles
+    "text_stopword_profile",  # r7 new: HOF stopword census, no token explode
     "events_zseason_weekday_lift",  # r7 new: weekday lift vs daily totals
     "part_brand_price_ladder",  # r7 new: within-brand price positioning
     "orders_priority_mix_shift",  # r7 new: yearly priority mix-shift decomposition

@@ -1,0 +1,102 @@
+"""Empirical scaling sweep: measure the §6 scale-design claims.
+
+Times representative query families at sf0.001 / sf0.01 / sf0.1 (100×
+input growth end-to-end) and prints a markdown table plus one JSON
+line. The informative number is the sf0.01→sf0.1 time ratio vs the 10×
+data ratio: near-linear families should land well under ~10× (fixed
+job overhead amortizes; partial aggregation and bucketed joins keep
+work proportional), while the exact wedge enumeration is expected to
+grow FASTER than input (its Σ C(d_z, 2) lower bound) — which is why it
+carries a hub cap.
+
+Usage: python scripts/scaling_sweep.py [--runs 2] [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from statcan_etl_pipeline_spark.registry import QUERIES  # noqa: E402
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+TESTDATA = "/root/testdata"
+
+# query -> (family, driving table)
+SWEEP = {
+    "dedup_exact": ("dedup: exact hash groupBy (linear)", "documents"),
+    "dedup_minhash_lsh": ("dedup: banded MinHash-LSH", "documents"),
+    "dedup_ngram_jaccard": ("dedup: shingle inverted index + df cap", "documents"),
+    "dedup_simhash": ("dedup: simhash band buckets", "documents"),
+    "copurchase_part_similarity": (
+        "graph: exact wedge enum (hub-capped, superlinear by design)",
+        "lineitem",
+    ),
+    "gini_customer_revenue": ("rank: two-pass bucketed prefix sum", "orders"),
+    "doc_global_shuffle": ("rank: two-pass global shuffle rank", "documents"),
+    "customer_value_migration": ("rank: two-pass quartile migration", "orders"),
+    "text_quality_score": ("text: pure column expressions (linear)", "documents"),
+    "ann_ivf_cosine": ("ann: IVF bucketed candidates", "embeddings"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from statcan_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = {
+        sf: {
+            t: spark.read.parquet(f"{TESTDATA}/{sf}/{t}.parquet").count()
+            for t in {tab for _, tab in SWEEP.values()}
+        }
+        for sf in SFS
+    }
+
+    results: dict[str, dict[str, float]] = {}
+    for name in SWEEP:
+        results[name] = {}
+        for sf in SFS:
+            best = None
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, f"{TESTDATA}/{sf}").collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[name][sf] = round(best, 3)
+            print(f"  {name} @ {sf}: {results[name][sf]} s", file=sys.stderr)
+
+    lines = [
+        "| query | family | driving rows 0.001→0.1 | t(sf0.001) | t(sf0.01) | t(sf0.1) | t ratio 0.01→0.1 (data 10×) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, (family, tab) in SWEEP.items():
+        r = results[name]
+        ratio = r["sf0.1"] / r["sf0.01"] if r["sf0.01"] else float("nan")
+        lines.append(
+            f"| `{name}` | {family} | {rows['sf0.001'][tab]:,}→{rows['sf0.1'][tab]:,}"
+            f" | {r['sf0.001']:.2f} s | {r['sf0.01']:.2f} s | {r['sf0.1']:.2f} s"
+            f" | **{ratio:.1f}×** |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    print(json.dumps({"results": results, "rows": rows}))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

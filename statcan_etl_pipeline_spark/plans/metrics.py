@@ -86,3 +86,38 @@ def profile(df: DataFrame) -> dict[str, int]:
         elif "FileSourceScan" in cls and name == "numOutputRows":
             summary["scan_rows"] += value
     return summary
+
+
+def streaming_state_metrics(query) -> dict[str, dict[str, int]]:
+    """Per-operator state-store metrics from a StreamingQuery's progress
+    history: {operatorName: {"rows": max numRowsTotal, "bytes": max
+    memoryUsedBytes, "rows_dropped_by_watermark": total}}.
+
+    State growth is the streaming twin of shuffle growth: an unbounded
+    state store is the thing that kills a 100 TB stream weeks after it
+    ships. Tests pin a bound on these numbers (tests/test_streaming.py)
+    so a watermark regression fails CI the way a shuffle-budget
+    regression already does. Works on both StreamingQueryProgress
+    objects (Spark 4) and raw progress dicts.
+    """
+    out: dict[str, dict[str, int]] = {}
+    for p in list(query.recentProgress) + ([query.lastProgress] if query.lastProgress else []):
+        ops = p["stateOperators"] if isinstance(p, dict) else p.stateOperators
+        for i, op in enumerate(ops):
+            if isinstance(op, dict):
+                name = op.get("operatorName") or f"op_{i}"
+                rows = op.get("numRowsTotal", 0) or 0
+                mem = op.get("memoryUsedBytes", 0) or 0
+                dropped = op.get("numRowsDroppedByWatermark", 0) or 0
+            else:
+                name = getattr(op, "operatorName", None) or f"op_{i}"
+                rows = getattr(op, "numRowsTotal", 0) or 0
+                mem = getattr(op, "memoryUsedBytes", 0) or 0
+                dropped = getattr(op, "numRowsDroppedByWatermark", 0) or 0
+            cur = out.setdefault(name, {"rows": 0, "bytes": 0, "rows_dropped_by_watermark": 0})
+            cur["rows"] = max(cur["rows"], int(rows))
+            cur["bytes"] = max(cur["bytes"], int(mem))
+            cur["rows_dropped_by_watermark"] = max(
+                cur["rows_dropped_by_watermark"], int(dropped)
+            )
+    return out

@@ -73,28 +73,41 @@ def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )
+    # NOTE the alias on the view-side timestamp: in a self-cogroup both
+    # sides carry attributes with the same expression ID, and Spark
+    # resolves the duplicated `ts` to the LEFT side only — the right
+    # pandas frame would arrive without its timestamp column.
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("event_id").alias("view_id"), "ts"
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
     )
 
     def merge(left, right):
+        # A key absent from one side arrives as an EMPTY, column-less
+        # pandas DataFrame — both empties need explicit handling.
         import pandas as pd
 
-        left = left.sort_values(["ts", "event_id"], kind="mergesort")
-        if left.empty:  # user had views but no purchases
+        if left.empty:  # user had views but no purchases → no output rows
             return pd.DataFrame(
                 {
                     "user_id": pd.Series(dtype="int64"),
                     "event_id": pd.Series(dtype="int64"),
-                    "ts": pd.Series(dtype=left["ts"].dtype),
+                    "ts": pd.Series(dtype="datetime64[us]"),
                     "view_id": pd.Series(dtype="Int64"),
-                    "view_ts": pd.Series(dtype=left["ts"].dtype),
+                    "view_ts": pd.Series(dtype="datetime64[us]"),
                 }
             )
-        right = right.sort_values(["ts", "view_id"], kind="mergesort")
+        left = left.sort_values(["ts", "event_id"], kind="mergesort")
+        if right.empty:  # purchases but no views → all matches null
+            out = left.copy()
+            out["view_id"] = pd.Series(pd.NA, index=out.index, dtype="Int64")
+            out["view_ts"] = pd.Series(
+                pd.NaT, index=out.index, dtype=left["ts"].dtype
+            )
+            return out[["user_id", "event_id", "ts", "view_id", "view_ts"]]
+        right = right.sort_values(["vts", "view_id"], kind="mergesort")
         out = pd.merge_asof(
             left,
-            right.rename(columns={"ts": "view_ts"})[["view_ts", "view_id"]],
+            right.rename(columns={"vts": "view_ts"})[["view_ts", "view_id"]],
             left_on="ts",
             right_on="view_ts",
             direction="backward",

@@ -55,6 +55,7 @@ def _load_all() -> None:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         approx,
         arrowexec,
         curation,

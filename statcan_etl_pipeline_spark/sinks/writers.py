@@ -106,3 +106,63 @@ def read_xml(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+_AVRO_CLASS = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def avro_format(spark: SparkSession) -> str | None:
+    """Resolve the usable Avro data-source name, or None.
+
+    Spark 4.1's pip distribution bundles the Avro FileFormat classes
+    inside spark-sql_2.13 but ships no META-INF DataSourceRegister
+    entry for them, so the short name `format("avro")` fails while the
+    fully-qualified class name works. Prefer the short name (present
+    when a cluster deploys --packages org.apache.spark:spark-avro);
+    fall back to the class name; return None when the classes are
+    absent entirely.
+    """
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.lang.Class.forName(_AVRO_CLASS)
+    except Exception:
+        return None
+    try:
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return "avro"
+    except Exception:
+        return _AVRO_CLASS
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Avro sink — the row-oriented interchange format (Kafka schema
+    registry, cross-language pipelines). Columnar analytics stays on
+    parquet/ORC; Avro exists for streaming interop and schema
+    evolution, so the sink keeps writer-schema fidelity."""
+    fmt = avro_format(df.sparkSession)
+    if fmt is None:
+        raise RuntimeError("Avro data source classes not on the classpath")
+    writer = df.write.mode(mode).format(fmt).option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Avro source; pass `schema` (an Avro-compatible StructType) to get
+    reader-schema projection instead of file-schema inference."""
+    fmt = avro_format(spark)
+    if fmt is None:
+        raise RuntimeError("Avro data source classes not on the classpath")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

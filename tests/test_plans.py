@@ -579,3 +579,31 @@ def test_shingle_spectrum_bin_is_integer_derived(spark, sf_small):
     plan = _plan(spark, "shingle_df_spectrum", sf_small)
     assert "LOG" not in plan.upper().replace("CATALOG", ""), plan
     assert "bin(" in plan, plan
+
+
+def test_column_profile_single_scan(spark, sf_small):
+    """orders_column_profile computes every column's stats in ONE
+    aggregation pass — exactly one orders scan in the executed plan."""
+    plan = _plan(spark, "orders_column_profile", sf_small)
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "orders" in ln
+    ]
+    assert len(scans) == 1, plan
+
+
+def test_stopword_profile_no_explode(spark, sf_small):
+    """text_stopword_profile counts stopwords with array HOFs inside
+    the row — the token stream must never be exploded (no Generate
+    node) and the per-source agg keeps a map-side partial."""
+    plan = _plan(spark, "text_stopword_profile", sf_small)
+    assert "Generate" not in plan, plan
+    assert "partial_" in plan
+
+
+def test_hour_of_week_total_is_broadcast(spark, sf_small):
+    """events_hour_of_week_profile's corpus total joins as a broadcast
+    1-row aggregate — the bucketed aggregate must not shuffle again
+    for it."""
+    plan = _plan(spark, "events_hour_of_week_profile", sf_small)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

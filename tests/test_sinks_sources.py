@@ -532,3 +532,40 @@ def test_pyds_stream_end_to_end_aggregated_pipeline(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_avro_roundtrip(spark, sf_small):
+    """Avro round-trip: partitioned write + read-back + partition filter.
+
+    Spark 4.1 bundles the Avro FileFormat inside spark-sql but without
+    a DataSourceRegister short name, so writers.avro_format() resolves
+    the fully-qualified class; with --packages spark-avro deployed it
+    resolves the plain "avro" name instead. Skips only if the classes
+    are absent from the classpath entirely."""
+    import os
+    import tempfile
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.sinks.writers import (
+        avro_format,
+        read_avro,
+        write_avro,
+    )
+
+    if avro_format(spark) is None:
+        pytest.skip("Avro classes absent from classpath")
+
+    nat = load_table(spark, sf_small, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "avro")
+        write_avro(nat, p, partition_cols=["n_regionkey"])
+        back = read_avro(spark, p).select("n_nationkey", "n_name", "n_regionkey")
+        want = {tuple(r) for r in nat.select(*back.columns).collect()}
+        got = {tuple(r) for r in back.collect()}
+        assert got == want
+        assert back.filter(F.col("n_regionkey") == 1).count() == nat.filter(
+            F.col("n_regionkey") == 1
+        ).count()

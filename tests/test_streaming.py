@@ -638,6 +638,16 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_small):
     q.awaitTermination()
     got = {tuple(r) for r in spark.table("ss_outer_join").collect()}
 
+    # State-store bound: the dual-watermark join may buffer at most the
+    # full finite input (views + purchases rows); a watermark regression
+    # that stops evicting or starts duplicating state breaks this pin.
+    from statcan_etl_pipeline_spark.plans.metrics import streaming_state_metrics
+
+    state = streaming_state_metrics(q)
+    assert state, "join must report state-operator progress"
+    join_ops = {k: v for k, v in state.items() if "symmetricHashJoin" in k or "Join" in k or k.startswith("op_")}
+    assert join_ops, state
+
     ev = load_table(spark, sf_small, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
@@ -673,6 +683,11 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_small):
     matched = {r for r in got if r[1] is not None}
     assert matched == {r for r in want if r[1] is not None}
     assert unmatched, "some purchase must lack a preceding-hour view"
+
+    n_sides = views.count() + purchases.count()
+    for name, m in join_ops.items():
+        assert 0 < m["rows"] <= n_sides, (name, m, n_sides)
+        assert m["bytes"] > 0, (name, m)
 
 
 def test_streaming_scd2_maintenance_matches_batch(spark, sf_small, tmp_path):
