@@ -83,6 +83,18 @@ _CHECK_FIRST = [
     "part_brand_price_ladder",  # r7 new: within-brand price positioning
     "orders_priority_mix_shift",  # r7 new: yearly priority mix-shift decomposition
     "lineitem_quantity_mode_profile",  # r7 new: exact per-flag quantity mode
+    # --- round-7 batch 2 (positions 50+: first in line for the NEXT
+    # window; green under the local sf0.001+sf0.01 parity sweep) ---
+    "kruskal_wallis_order_value",  # r7 new: doubled-midrank KW H + tie correction
+    "survey_winsorized_total",  # r7 new: type-2 winsorized totals at disc P95
+    "survey_jackknife_variance",  # r7 new: delete-a-group jackknife SE/CV
+    "survey_neyman_allocation",  # r7 new: Neyman allocation, largest remainder
+    "atkinson_inequality_by_nation",  # r7 new: exact harmonic-mean Atkinson(2)
+    "doc_dsir_importance_weights",  # r7 new: hashed-unigram DSIR log-ratios
+    "doc_shingle_containment",  # r7 new: asymmetric subset-dup containment
+    "event_type_trigrams",  # r7 new: behavioural trigram mining
+    "events_bounce_rate_daily",  # r7 new: single-event session share
+    "doc_rrf_quality_fusion",  # r7 new: integer reciprocal-rank fusion
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

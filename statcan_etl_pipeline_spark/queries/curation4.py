@@ -1,0 +1,418 @@
+"""Training-data curation batch 4: DSIR-style importance weighting,
+exact shingle containment (subset-duplication detection), event-type
+trigram mining, daily bounce rate, and reciprocal-rank-fusion quality
+ranking.
+
+Cross-engine exactness: every score that feeds a hash comparison is
+either an exact integer (micro-quantized per ROW before any sum, so
+accumulation order cannot matter) or a fixed sequence of IEEE double
+ops on identical inputs. The one math-library call (`ln` in the DSIR
+log-ratio) is quantized to 1e-6 per BUCKET (256 values, each a single
+ln of a generic ratio — no systematic alignment with the quantization
+grid, unlike floor(log2(2^k)) which sits exactly ON the discontinuity;
+a 1-ulp library divergence at 1e-16 relative cannot move a 1e-6
+rounding except on a knife-edge that the bucket-count construction
+never produces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import cents, pround, sql_cents, sql_round as R
+from ..functions.text import (
+    norm_text,
+    sql_norm_text,
+    sql_tokens,
+    sql_word_shingles,
+    word_shingles,
+)
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# DSIR-lite importance weights (Data Selection via Importance
+# Resampling, Xie et al. 2023): hashed-unigram bag-of-words language
+# models for a TARGET domain (lang = 'en') vs the RAW corpus, with
+# add-one smoothing over 256 md5 buckets. Each bucket's log-ratio is
+# ONE ln call micro-quantized to an integer; a document's importance
+# weight is then the EXACT integer Σ count_doc(b) · lr_micro(b).
+# Reported per source: docs, mean weight, share of positive weights.
+# Scale: token explode → two bounded (≤256-row) bucket aggregates
+# broadcast back — the per-doc weighting is a map-side join.
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+
+
+@query(
+    "doc_dsir_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         CAST(CAST('0x' || substr(md5(unnest(string_split({sql_norm_text("text")}, ' '))), 1, 2)
+              AS INTEGER) % {_DSIR_B} AS BIGINT) AS b
+  FROM documents
+), raw AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY b
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks WHERE lang = 'en' GROUP BY b
+), tots AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+         (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS t_tot
+  FROM raw
+), lr AS (
+  SELECT raw.b,
+         {sql_cents(
+             f"ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(t_tot + {_DSIR_B} AS DOUBLE))"
+             f" * (CAST(r_tot + {_DSIR_B} AS DOUBLE) / CAST(cr + 1 AS DOUBLE)))",
+             6,
+         )} AS lr_micro
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+), docw AS (
+  SELECT t.doc_id, t.source,
+         CAST(sum(lr_micro) AS BIGINT) AS w_micro
+  FROM toks t JOIN lr ON t.b = lr.b
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R("CAST(sum(w_micro) AS DOUBLE) / count(*) / 1000000.0", 4)} AS mean_weight,
+       {R("CAST(sum(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS pos_share
+FROM docw
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(norm_text("text"), " ")).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("long") % _DSIR_B).alias(
+            "b"
+        ),
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").cast("long").alias("r_tot")).crossJoin(
+        tgt.agg(F.sum("ct").cast("long").alias("t_tot"))
+    )
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("t_tot") + _DSIR_B).cast("double")
+    ) * (
+        (F.col("r_tot") + _DSIR_B).cast("double")
+        / (F.col("cr") + 1).cast("double")
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", cents(F.log(ratio), 6).cast("long").alias("lr_micro"))
+    )
+    docw = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr_micro").cast("long").alias("w_micro"))
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pround(
+                F.sum("w_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("mean_weight"),
+            pround(
+                F.sum(F.when(F.col("w_micro") > 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pos_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact shingle CONTAINMENT — the asymmetric near-dup measure that
+# catches subset duplication (doc A pasted inside doc B), which
+# symmetric Jaccard under-scores: C = |A∩B| / min(|A|,|B|). Candidate
+# pairs come from sharing a non-stop shingle (document frequency ≤ 50
+# — the stop-shingle filter is what keeps the self-join from exploding
+# on boilerplate at scale); the score is the exact integer
+# inter·10⁶ div min(|A|,|B|).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_shingle_containment",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens(sql_norm_text("text"))} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_word_shingles("toks", 3)}) AS s FROM base
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+), keep AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 50
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN keep USING (s) JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         (inter * 1000000) // least(sa.sz, sb.sz) AS c_micro
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       {R("CAST(c_micro AS DOUBLE) / 1000000.0", 6)} AS containment
+FROM scored
+WHERE c_micro >= 300000
+ORDER BY doc_a, doc_b
+""",
+)
+def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text("text"), " ").alias("toks")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("toks", 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    ).select("s")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(keep, "s")
+        .join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "c_micro",
+            F.expr("(inter * 1000000) div least(sz_a, sz_b)"),
+        )
+    )
+    return (
+        scored.filter(F.col("c_micro") >= 300000)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            pround(F.col("c_micro").cast("double") / F.lit(1000000.0), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type trigram mining: the 25 most frequent length-3 behavioural
+# patterns across per-user event sequences (ordered by ts with
+# event_id tie-break). Pure window lead() — no explode, no self-join;
+# at scale the window keys on user_id so it shuffles once.
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT 25
+""",
+)
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily bounce rate: share of 30-minute-gap sessions containing a
+# single event, bucketed by session start date. Same sessionization
+# construction as sessionize_events (lag + cumulative-flag windows);
+# the rate is an exact count ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "events_bounce_rate_daily",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         strftime(min(ts), '%Y-%m-%d') AS day
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       {R("CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS bounce_rate
+FROM per_session
+GROUP BY day
+ORDER BY day
+""",
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak=["event_id"])
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounce"),
+            pround(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of three document quality signals — the
+# standard way to combine heterogeneous rankers without score
+# calibration. Every signal is an exact INTEGER sort key (length;
+# type-token ratio and mean word length in micro units via integer
+# division), ranks come from row_number with doc_id tie-break, and the
+# RRF score Σ 10⁹ div (60 + rank) stays an exact integer. Scale note:
+# row_number here is a global ranking — at 100 TB replace with a
+# two-phase range-partitioned rank (compute per-partition counts,
+# prefix-sum offsets), same downstream algebra.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_rrf_quality_fusion",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, n_chars,
+         len({sql_tokens(sql_norm_text("text"))}) AS n_toks,
+         len(list_distinct({sql_tokens(sql_norm_text("text"))})) AS n_dist
+  FROM documents
+), keys AS (
+  SELECT doc_id, n_chars,
+         (n_dist * 1000000) // n_toks AS ttr_micro,
+         ((n_chars - n_toks + 1) * 1000000) // n_toks AS mwl_micro
+  FROM feats WHERE n_toks > 0
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+         row_number() OVER (ORDER BY ttr_micro DESC, doc_id) AS r2,
+         row_number() OVER (ORDER BY mwl_micro DESC, doc_id) AS r3
+  FROM keys
+)
+SELECT doc_id,
+       CAST(1000000000 // (60 + r1)
+          + 1000000000 // (60 + r2)
+          + 1000000000 // (60 + r3) AS BIGINT) AS rrf_score,
+       CAST(r1 AS BIGINT) AS rank_length,
+       CAST(r2 AS BIGINT) AS rank_ttr,
+       CAST(r3 AS BIGINT) AS rank_mwl
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT 25
+""",
+)
+def doc_rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split(norm_text("text"), " ").alias("toks")
+    )
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_dist"),
+    )
+    keys = feats.filter(F.col("n_toks") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.expr("(n_dist * 1000000) div n_toks").alias("ttr_micro"),
+        F.expr("((n_chars - n_toks + 1) * 1000000) div n_toks").alias("mwl_micro"),
+    )
+    ranked = keys.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("n_chars"), "doc_id")).alias("r1"),
+        F.row_number().over(W.orderBy(F.desc("ttr_micro"), "doc_id")).alias("r2"),
+        F.row_number().over(W.orderBy(F.desc("mwl_micro"), "doc_id")).alias("r3"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.expr(
+                "1000000000 div (60 + r1) + 1000000000 div (60 + r2)"
+                " + 1000000000 div (60 + r3)"
+            )
+            .cast("long")
+            .alias("rrf_score"),
+            F.col("r1").cast("long").alias("rank_length"),
+            F.col("r2").cast("long").alias("rank_ttr"),
+            F.col("r3").cast("long").alias("rank_mwl"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(25)
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         curation,
         curation2,
         curation3,
+        curation4,
         dedup,
         embeddings,
         etl,
@@ -79,6 +80,7 @@ def _load_all() -> None:
         stats,
         stats2,
         survey,
+        survey2,
         temporal,
         text,
     )
