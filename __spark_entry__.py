@@ -95,6 +95,7 @@ _CHECK_FIRST = [
     "event_type_trigrams",  # r7 new: behavioural trigram mining
     "events_bounce_rate_daily",  # r7 new: single-event session share
     "doc_rrf_quality_fusion",  # r7 new: integer reciprocal-rank fusion
+    "hll_mergeable_rollup",  # r7 new: two-level sketch union, band-audited
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

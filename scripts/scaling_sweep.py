@@ -42,6 +42,16 @@ SWEEP = {
     "customer_value_migration": ("rank: two-pass quartile migration", "orders"),
     "text_quality_score": ("text: pure column expressions (linear)", "documents"),
     "ann_ivf_cosine": ("ann: IVF bucketed candidates", "embeddings"),
+    "doc_shingle_containment": (
+        "dedup: containment w/ stop-shingle df cap",
+        "documents",
+    ),
+    "kruskal_wallis_order_value": (
+        "stats: rank test over DISTINCT-value window",
+        "orders",
+    ),
+    "survey_jackknife_variance": ("survey: replicate-group aggregates", "orders"),
+    "hll_mergeable_rollup": ("sketch: two-level HLL union rollup", "lineitem"),
 }
 
 

@@ -376,3 +376,57 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup — the 100 TB pre-aggregation contract. At
+# scale you NEVER re-scan the fact table per reporting cut: you store
+# one HLL sketch per fine-grained cell (here (returnflag, linestatus))
+# and answer any coarser distinct-count rollup by UNIONING sketches
+# (hll_union_agg), which is associative, commutative and tiny
+# (2^lgConfigK registers per cell). This query materializes the cell
+# sketches, rolls them up per returnflag, and audits the MERGED
+# estimate against the exact distinct with the same integer-math 6%
+# band as approx_distinct_parts_by_flag. DuckDB has no sketch-merge
+# surface, so its oracle evaluates its own flat HLL against the same
+# band — each engine certifies its own sketch pipeline, and Spark's
+# pipeline is the two-level merge (tests/test_approx.py additionally
+# pins merged-vs-direct drift < 2%).
+# ---------------------------------------------------------------------------
+@query(
+    "hll_mergeable_rollup",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_cells,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       abs(CAST(approx_count_distinct(l_partkey) AS BIGINT)
+           - count(DISTINCT l_partkey)) * 100
+         <= 6 * count(DISTINCT l_partkey) AS merged_within_band
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    rolled = cells.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_parts")
+    )
+    return (
+        rolled.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_cells",
+            "exact_parts",
+            (F.abs(F.col("est") - F.col("exact_parts")) * 100
+             <= 6 * F.col("exact_parts")).alias("merged_within_band"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -86,3 +86,38 @@ def test_kmv_estimate_within_error_bound(spark, sf_med):
     for r in rows:
         rel_err = abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel_err <= 0.40, (r, rel_err)
+
+
+def test_hll_merged_rollup_tracks_direct_sketch(spark, sf_med):
+    """Mergeability contract: the two-level rollup (cell sketches →
+    hll_union_agg) must land within 2% of the single-pass sketch and
+    within the published 6% band of exact — the invariant that lets a
+    100 TB pipeline answer rollups from stored sketches without
+    re-scanning facts."""
+    import pyspark.sql.functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["hll_mergeable_rollup"](spark, sf_med).collect()
+    assert rows and all(r["merged_within_band"] for r in rows)
+    li = load_table(spark, sf_med, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = {
+        r["l_returnflag"]: r["est"]
+        for r in cells.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"))
+        .collect()
+    }
+    direct = {
+        r["l_returnflag"]: r["est"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).cast("long").alias("est"))
+        .collect()
+    }
+    for flag, est in merged.items():
+        assert abs(est - direct[flag]) <= max(direct[flag] * 2 // 100, 2), (
+            flag, est, direct[flag],
+        )
