@@ -96,6 +96,9 @@ _CHECK_FIRST = [
     "events_bounce_rate_daily",  # r7 new: single-event session share
     "doc_rrf_quality_fusion",  # r7 new: integer reciprocal-rank fusion
     "hll_mergeable_rollup",  # r7 new: two-level sketch union, band-audited
+    "text_rake_keywords",  # r7 new: RAKE phrases, integer deg/freq scores
+    "orders_chain_ladder_completion",  # r7 new: development-triangle nowcast
+    "tukey_hsd_pairwise",  # r7 new: post-hoc pairwise HSD verdicts
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

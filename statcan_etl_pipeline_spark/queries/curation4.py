@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.portable import cents, pround, sql_cents, sql_round as R
 from ..functions.text import (
+    STOPWORDS,
     norm_text,
     sql_norm_text,
     sql_tokens,
@@ -414,5 +415,122 @@ def doc_rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r3").cast("long").alias("rank_mwl"),
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rapid Automatic Keyword Extraction, Rose et
+# al. 2010): candidate phrases are maximal stopword-free token runs
+# (delimited by the 20-word multilingual stopword list, phrase length
+# ≤ 4); each word scores degree/frequency where degree sums the
+# lengths of every phrase the word occurs in, and a phrase scores the
+# sum of its words' scores. Every score is an exact integer
+# (degree·10⁶ div frequency), so ranking is engine-exact. Scale:
+# posexplode → two bounded groupBys + one broadcast join of the word
+# score table; no pairwise joins anywhere.
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = tuple(w for ws in STOPWORDS.values() for w in ws)
+
+
+def _rake_stop_list() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS idx, unnest(t) AS tok
+  FROM (SELECT doc_id, {sql_tokens(sql_norm_text("text"))} AS t FROM documents)
+), flagged AS (
+  SELECT doc_id, idx, tok,
+         CASE WHEN tok IN ({_rake_stop_list()}) THEN 1 ELSE 0 END AS stop
+  FROM toks
+), pids AS (
+  -- pid must be computed over ALL tokens (stopwords included) BEFORE
+  -- dropping the stopword rows, or every run would collapse to pid 0
+  SELECT doc_id, idx, tok, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+  FROM flagged
+), runs AS (
+  SELECT doc_id, idx, tok, pid FROM pids WHERE stop = 0
+), phr AS (
+  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY idx) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM runs GROUP BY doc_id, pid
+  HAVING count(*) <= 4
+), occ AS (
+  SELECT r.tok, p.plen, p.doc_id, p.pid, p.phrase
+  FROM runs r JOIN phr p ON r.doc_id = p.doc_id AND r.pid = p.pid
+), wscore AS (
+  SELECT tok, (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS s_micro
+  FROM occ GROUP BY tok
+), pscore AS (
+  SELECT o.doc_id, o.pid, o.phrase,
+         CAST(sum(w.s_micro) AS BIGINT) AS score_micro
+  FROM occ o JOIN wscore w ON o.tok = w.tok
+  GROUP BY o.doc_id, o.pid, o.phrase
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(max(score_micro) AS BIGINT) AS score_micro
+FROM pscore
+GROUP BY phrase
+ORDER BY score_micro DESC, phrase
+LIMIT 25
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text("text"), " ").alias("t")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("idx"), "tok")
+    flagged = toks.select(
+        "doc_id",
+        "idx",
+        "tok",
+        F.when(F.col("tok").isin(*_RAKE_STOPS), 1).otherwise(0).alias("stop"),
+    )
+    wrun = (
+        W.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = flagged.select(
+        "doc_id", "idx", "tok", "stop", F.sum("stop").over(wrun).alias("pid")
+    ).filter(F.col("stop") == 0)
+    phr = (
+        runs.groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= 4)
+    )
+    occ = runs.join(phr, ["doc_id", "pid"]).select("tok", "plen", "doc_id", "pid", "phrase")
+    wscore = occ.groupBy("tok").agg(
+        F.expr("(CAST(sum(plen) AS BIGINT) * 1000000) div count(*)").alias("s_micro")
+    )
+    pscore = (
+        occ.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(F.sum("s_micro").cast("long").alias("score_micro"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
         .limit(25)
     )

@@ -514,3 +514,275 @@ def atkinson_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             "atkinson2"
         ),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder completion (the actuarial development-triangle method
+# statistics agencies use to NOWCAST totals while late records are
+# still arriving): lineitem shipments are laid out as an (order-month
+# origin × ship-delay development) triangle, volume-weighted
+# development factors f_d = Σ C(o,d+1) / Σ C(o,d) are estimated over
+# the origins old enough to have reached d+1, and each immature
+# origin's ultimate count is its latest diagonal times the product of
+# the remaining factors. All triangle cells are exact integers; each
+# factor is one division of exact sums; the factor product is a
+# d-sorted fold (identical order both engines — the EWMA precedent).
+# Scale: the triangle is bounded (months × 5 cells) no matter how many
+# fact rows feed it — one fact-table aggregation, then cell-table math.
+# ---------------------------------------------------------------------------
+_CL_MAXDEV = 4
+
+
+@query(
+    "orders_chain_ladder_completion",
+    oracle=f"""
+WITH pairs AS (
+  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS om,
+         (year(l.l_shipdate) * 12 + month(l.l_shipdate)) AS sm
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+        >= (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+), lim AS (
+  SELECT max(sm) AS m FROM pairs
+), tri AS (
+  SELECT om, least(sm - om, {_CL_MAXDEV}) AS dev, CAST(count(*) AS BIGINT) AS inc
+  FROM pairs GROUP BY om, least(sm - om, {_CL_MAXDEV})
+), oms AS (
+  SELECT DISTINCT om FROM tri
+), grid AS (
+  SELECT o.om, d.dev
+  FROM oms o CROSS JOIN (SELECT unnest(range(0, {_CL_MAXDEV + 1})) AS dev) d
+), cum AS (
+  SELECT g.om, g.dev,
+         CAST(sum(coalesce(t.inc, 0)) OVER (PARTITION BY g.om ORDER BY g.dev
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM grid g LEFT JOIN tri t ON g.om = t.om AND g.dev = t.dev
+), maxdev AS (
+  SELECT o.om, least(lim.m - o.om, {_CL_MAXDEV}) AS md FROM oms o CROSS JOIN lim
+), fac AS (
+  SELECT cd.dev AS d, CAST(sum(cn.c) AS BIGINT) AS num,
+         CAST(sum(cd.c) AS BIGINT) AS den
+  FROM cum cd
+  JOIN cum cn ON cn.om = cd.om AND cn.dev = cd.dev + 1
+  JOIN maxdev md ON md.om = cd.om
+  WHERE cd.dev <= {_CL_MAXDEV - 1} AND md.md >= cd.dev + 1
+  GROUP BY cd.dev
+), fl AS (
+  SELECT list(struct_pack(d := s.dev,
+           f := CASE WHEN coalesce(fac.den, 0) > 0
+                THEN CAST(fac.num AS DOUBLE) / CAST(fac.den AS DOUBLE)
+                ELSE 1.0 END) ORDER BY s.dev) AS facs
+  FROM (SELECT unnest(range(0, {_CL_MAXDEV})) AS dev) s
+  LEFT JOIN fac ON fac.d = s.dev
+), base AS (
+  SELECT md.om, md.md, c.c AS observed,
+         CAST(c.c AS DOUBLE) * list_reduce(
+           list_concat([CAST(1.0 AS DOUBLE)],
+             list_transform(list_filter(fl.facs, x -> x.d >= md.md), x -> x.f)),
+           (a, b) -> a * b) AS ult
+  FROM maxdev md
+  JOIN cum c ON c.om = md.om AND c.dev = md.md
+  CROSS JOIN fl
+)
+SELECT CAST((om - 1) // 12 AS BIGINT) || '-' ||
+         lpad(CAST(om - 12 * ((om - 1) // 12) AS VARCHAR), 2, '0') AS origin_month,
+       CAST(md AS BIGINT) AS max_dev, observed,
+       {R("ult", 2)} AS ultimate,
+       {R("100.0 * CAST(observed AS DOUBLE) / ult", 4)} AS completion_pct
+FROM base
+ORDER BY origin_month
+""",
+)
+def orders_chain_ladder_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("om")
+    sm = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("sm")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(om, sm)
+        .filter(F.col("sm") >= F.col("om"))
+    )
+    lim = pairs.agg(F.max("sm").alias("m"))
+    tri = pairs.groupBy(
+        "om", F.least(F.col("sm") - F.col("om"), F.lit(_CL_MAXDEV)).alias("dev")
+    ).agg(F.count(F.lit(1)).cast("long").alias("inc"))
+    oms = tri.select("om").distinct()
+    spine = oms.sparkSession.range(_CL_MAXDEV + 1).select(F.col("id").alias("dev"))
+    grid = oms.crossJoin(F.broadcast(spine))
+    wc = (
+        W.partitionBy("om").orderBy("dev").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        grid.join(tri, ["om", "dev"], "left")
+        .select("om", "dev", F.coalesce("inc", F.lit(0)).alias("inc"))
+        .select("om", "dev", F.sum("inc").over(wc).cast("long").alias("c"))
+    )
+    maxdev = oms.crossJoin(F.broadcast(lim)).select(
+        "om", F.least(F.col("m") - F.col("om"), F.lit(_CL_MAXDEV)).alias("md")
+    )
+    cd = cum.alias("cd")
+    cn = cum.select(
+        F.col("om").alias("om2"), (F.col("dev") - 1).alias("dev2"), F.col("c").alias("c_next")
+    )
+    fac = (
+        cd.join(cn, (F.col("cd.om") == F.col("om2")) & (F.col("cd.dev") == F.col("dev2")))
+        .join(maxdev, F.col("cd.om") == maxdev.om)
+        .filter(
+            (F.col("cd.dev") <= _CL_MAXDEV - 1) & (F.col("md") >= F.col("cd.dev") + 1)
+        )
+        .groupBy(F.col("cd.dev").alias("d"))
+        .agg(
+            F.sum("c_next").cast("long").alias("num"),
+            F.sum(F.col("cd.c")).cast("long").alias("den"),
+        )
+    )
+    fspine = oms.sparkSession.range(_CL_MAXDEV).select(F.col("id").alias("d"))
+    f_col = F.when(
+        F.coalesce(F.col("den"), F.lit(0)) > 0,
+        F.col("num").cast("double") / F.col("den").cast("double"),
+    ).otherwise(F.lit(1.0))
+    fl = (
+        fspine.join(fac, "d", "left")
+        .select("d", f_col.alias("f"))
+        .agg(F.array_sort(F.collect_list(F.struct("d", "f"))).alias("facs"))
+    )
+    base = (
+        maxdev.join(
+            cum, (maxdev.om == cum.om) & (maxdev.md == cum.dev)
+        )
+        .select(maxdev.om.alias("o_m"), "md", F.col("c").alias("observed"))
+        .crossJoin(F.broadcast(fl))
+    )
+    ult = F.col("observed").cast("double") * F.aggregate(
+        F.filter(F.col("facs"), lambda x: x["d"] >= F.col("md")),
+        F.lit(1.0),
+        lambda acc, x: acc * x["f"],
+    )
+    return (
+        base.select(
+            F.concat(
+                ((F.col("o_m") - 1) / 12).cast("long").cast("string"),
+                F.lit("-"),
+                F.lpad(
+                    (F.col("o_m") - ((F.col("o_m") - 1) / 12).cast("long") * 12)
+                    .cast("string"),
+                    2,
+                    "0",
+                ),
+            ).alias("origin_month"),
+            F.col("md").cast("long").alias("max_dev"),
+            "observed",
+            pround(ult, 2).alias("ultimate"),
+            pround(
+                F.lit(100.0) * F.col("observed").cast("double") / ult, 4
+            ).alias("completion_pct"),
+        )
+        .orderBy("origin_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparison (the follow-up to
+# anova_order_value_by_priority): all 10 priority pairs tested with
+# HSD = q · sqrt(MSW/2 · (1/n_i + 1/n_j)), q = 3.858 (studentized
+# range, k = 5, df → ∞). Group moments are exact integer cents sums;
+# MSW reuses the ANOVA priority-sorted fold; each pair verdict is a
+# fixed scalar double sequence — engine-exact. The pair join is over
+# the bounded 5-row group table.
+# ---------------------------------------------------------------------------
+_TUKEY_Q = 3.858
+
+
+@query(
+    "tukey_hsd_pairwise",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({sql_cents("o_totalprice")}) AS HUGEINT) AS s,
+         CAST(sum(CAST({sql_cents("o_totalprice")} AS HUGEINT)
+                  * {sql_cents("o_totalprice")}) AS HUGEINT) AS q
+  FROM orders GROUP BY o_orderpriority
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(sum(q) AS HUGEINT) AS q_all,
+         list_reduce(
+           list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                ORDER BY g),
+           (a, b) -> a + b) AS sum_terms
+  FROM g
+), msw AS (
+  SELECT (CAST(q_all AS DOUBLE) - sum_terms)
+           / (CAST(n_all AS DOUBLE) - CAST(k AS DOUBLE)) AS w
+  FROM t
+), pairs AS (
+  SELECT a.g AS prio_a, b.g AS prio_b,
+         abs(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) AS diff_c,
+         {_TUKEY_Q} * sqrt(msw.w / 2.0
+           * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))) AS hsd_c
+  FROM g a JOIN g b ON a.g < b.g CROSS JOIN msw
+)
+SELECT prio_a, prio_b,
+       {R("diff_c / 100.0", 2)} AS mean_diff,
+       {R("hsd_c / 100.0", 2)} AS hsd,
+       diff_c > hsd_c AS significant
+FROM pairs
+ORDER BY prio_a, prio_b
+""",
+)
+def tukey_hsd_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    vc = cents("o_totalprice")
+    g = orders.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vc).cast(_DEC).alias("s"),
+        F.sum((vc * vc).cast(_DEC)).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("q").alias("q_all"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("s"), F.col("n")))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["s"].cast("double") * x["s"].cast("double") / x["n"].cast("double"),
+        ).alias("sum_terms"),
+    )
+    msw = t.select(
+        (
+            (F.col("q_all").cast("double") - F.col("sum_terms"))
+            / (F.col("n_all").cast("double") - F.col("k").cast("double"))
+        ).alias("w")
+    )
+    a = g.select(
+        F.col("g").alias("prio_a"), F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = g.select(
+        F.col("g").alias("prio_b"), F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    diff_c = F.abs(
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    )
+    hsd_c = F.lit(_TUKEY_Q) * F.sqrt(
+        F.col("w") / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return (
+        a.join(b, F.col("prio_a") < F.col("prio_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "prio_a",
+            "prio_b",
+            pround(diff_c / F.lit(100.0), 2).alias("mean_diff"),
+            pround(hsd_c / F.lit(100.0), 2).alias("hsd"),
+            (diff_c > hsd_c).alias("significant"),
+        )
+        .orderBy("prio_a", "prio_b")
+    )

@@ -54,6 +54,14 @@ def test_shuffle_budget_headline_queries(spark, sf_small):
         # banded LSH: explode/partial-min sig agg + band self-join +
         # pair distinct
         "dedup_minhash_lsh": 4,
+        # containment: shingle distinct + df filter + pair agg + two
+        # size joins + output sort (measured 6; the df cap keeps
+        # shuffle_bytes pair-bounded, asserted below)
+        "doc_shingle_containment": 6,
+        # two-level sketch rollup: cell agg + union agg + exact
+        # distinct (2-phase) + join — the union stage moves sketches,
+        # not rows
+        "hll_mergeable_rollup": 5,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, sf_small)

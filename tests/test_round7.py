@@ -225,3 +225,40 @@ def test_containment_no_cartesian(spark, sf_small):
 def test_trigrams_single_window_shuffle(spark, sf_small):
     plan = _plan(spark, "event_type_trigrams", sf_small)
     assert "CartesianProduct" not in plan and "Generate" not in plan  # no explode
+
+
+# --- chain ladder: factors ≥ 1 ⇒ completion ≤ 100, mature = exactly 100 ----
+
+
+def test_chain_ladder_completion_bounds(spark, sf_small):
+    rows = QUERIES["orders_chain_ladder_completion"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # cumulative counts are nondecreasing so every factor ≥ 1
+        assert r["completion_pct"] <= 100.0 + 1e-9, r
+        assert r["ultimate"] >= r["observed"] - 1e-9, r
+        if r["max_dev"] == 4:  # fully developed: no factors left to apply
+            assert r["completion_pct"] == 100.0, r
+
+
+# --- Tukey: verdicts follow from the emitted diff/hsd columns --------------
+
+
+def test_tukey_pairs_complete_and_consistent(spark, sf_small):
+    rows = QUERIES["tukey_hsd_pairwise"](spark, sf_small).collect()
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        assert r["hsd"] > 0
+        if abs(r["mean_diff"] - r["hsd"]) > 0.02:  # outside rounding fuzz
+            assert r["significant"] == (r["mean_diff"] > r["hsd"]), r
+
+
+# --- RAKE: multi-word phrases beat their own words' count, scores exact ----
+
+
+def test_rake_scores_positive_and_formed(spark, sf_small):
+    rows = QUERIES["text_rake_keywords"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["score_micro"] > 0 and r["n_occ"] >= 1
+        assert 1 <= len(r["phrase"].split(" ")) <= 4
