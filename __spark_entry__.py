@@ -99,6 +99,8 @@ _CHECK_FIRST = [
     "text_rake_keywords",  # r7 new: RAKE phrases, integer deg/freq scores
     "orders_chain_ladder_completion",  # r7 new: development-triangle nowcast
     "tukey_hsd_pairwise",  # r7 new: post-hoc pairwise HSD verdicts
+    "orders_kaplan_meier_ship_latency",  # r7 new: product-limit survival
+    "part_label_propagation_communities",  # r7 new: deterministic LPA census
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

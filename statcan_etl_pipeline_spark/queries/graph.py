@@ -272,3 +272,115 @@ def part_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_prev") == F.col("n_core_nodes")).cast("long").alias("converged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Synchronized label propagation (LPA community detection, Raghavan et
+# al. 2007) over the part co-purchase graph — the fourth iterative
+# graph algorithm beside components, PageRank and k-core. Fully
+# deterministic variant: 4 synchronized rounds, each node adopting the
+# NEIGHBOR label with the largest total co-purchase weight (exact
+# integer sums; ties break to the SMALLEST label via the
+# max(struct(w, -label)) trick), isolated nodes keep their own label.
+# The oracle unrolls the rounds as CTEs (the Markov/PageRank
+# precedent). Scale shape: labels are O(|V|) and join edges per round
+# Pregel-style (broadcastable at the dim side; pre-partition edges by
+# dst at 100 TB); per-order pair fan-out is capped by the ≤8-part
+# order filter, so |E| is linear in orders.
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+_LPA_ORDER_CAP = 8
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""nb{k} AS (
+  SELECT e.dst AS node, l.lab AS lab, CAST(sum(e.w) AS BIGINT) AS wsum
+  FROM edges e JOIN labels{k - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lab
+), pick{k} AS (
+  SELECT node,
+         -struct_extract(max(struct_pack(w := wsum, nl := -lab)), 'nl') AS newlab
+  FROM nb{k} GROUP BY node
+), labels{k} AS (
+  SELECT l.node, CAST(coalesce(p.newlab, l.lab) AS BIGINT) AS lab
+  FROM labels{k - 1} l LEFT JOIN pick{k} p ON p.node = l.node
+)"""
+        )
+    return f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+), small AS (
+  SELECT ok FROM pp GROUP BY ok HAVING count(*) <= {_LPA_ORDER_CAP}
+), pairs AS (
+  SELECT a.part AS src, b.part AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM pp a JOIN small USING (ok) JOIN pp b USING (ok)
+  WHERE a.part < b.part
+  GROUP BY a.part, b.part
+), edges AS (
+  SELECT src, dst, w FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM pairs
+), labels0 AS (
+  SELECT DISTINCT part AS node, CAST(part AS BIGINT) AS lab FROM pp
+), {", ".join(rounds)}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_parts
+FROM labels{_LPA_ROUNDS}
+GROUP BY lab
+ORDER BY n_parts DESC, community
+LIMIT 25
+"""
+
+
+@query("part_label_propagation_communities", oracle=_lpa_oracle())
+def part_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    pp = li.distinct()
+    small = pp.groupBy("ok").agg(F.count(F.lit(1)).alias("np")).filter(
+        F.col("np") <= _LPA_ORDER_CAP
+    ).select("ok")
+    a = pp.alias("a")
+    b = pp.alias("b")
+    pairs = (
+        a.join(small, "ok")
+        .join(b, "ok")
+        .filter(F.col("a.part") < F.col("b.part"))
+        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
+    labels = pp.select("part").distinct().select(
+        F.col("part").alias("node"), F.col("part").cast("long").alias("lab")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nb = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst"), F.col("lab"))
+            .agg(F.sum("w").cast("long").alias("wsum"))
+        )
+        pick = nb.groupBy("dst").agg(
+            (-F.max(F.struct(F.col("wsum").alias("w"), (-F.col("lab")).alias("nl")))[
+                "nl"
+            ]).alias("newlab")
+        )
+        labels = (
+            labels.join(pick, labels.node == pick.dst, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("newlab"), F.col("lab")).cast("long").alias("lab"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy(F.desc("n_parts"), "community")
+        .limit(25)
+    )

@@ -786,3 +786,103 @@ def tukey_hsd_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_a", "prio_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve of order→first-shipment latency, right-
+# censored at 60 days (the product-limit estimator — the standard
+# duration-analysis tool; censoring makes it different from a plain
+# ECDF). Event counts d(t) and at-risk counts n(t) are exact integers
+# (censoring happens only at the horizon, so n(t) = N − Σ_{u<t} d(u));
+# S(t) = Π_{u≤t} (1 − d/n) is computed per row by folding the ONE
+# bounded (≤61-element, time-sorted) event array broadcast to every
+# row — identical fold order in both engines, no running-product
+# window needed. Scale: the fact table collapses to ≤61 cells before
+# any per-row math.
+# ---------------------------------------------------------------------------
+_KM_HORIZON = 60
+
+
+@query(
+    "orders_kaplan_meier_ship_latency",
+    oracle=f"""
+WITH lag AS (
+  SELECT o.o_orderkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(min(l.l_shipdate) AS DATE)) AS lat
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), obs AS (
+  SELECT CASE WHEN lat <= {_KM_HORIZON} THEN lat ELSE {_KM_HORIZON} END AS t,
+         CASE WHEN lat <= {_KM_HORIZON} THEN 1 ELSE 0 END AS ev
+  FROM lag WHERE lat >= 0
+), n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM obs
+), cells AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d FROM obs WHERE ev = 1 GROUP BY t
+), risked AS (
+  SELECT c.t, c.d,
+         n_tot.n - CAST(coalesce(sum(c.d) OVER (ORDER BY c.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM cells c CROSS JOIN n_tot
+), arr AS (
+  SELECT list(struct_pack(t := t, d := d, n := n_risk) ORDER BY t) AS a FROM risked
+)
+SELECT r.t AS t_days, r.n_risk, r.d AS d_events,
+       {R(
+           "list_reduce(list_concat([CAST(1.0 AS DOUBLE)],"
+           " list_transform(list_filter(arr.a, x -> x.t <= r.t),"
+           " x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),"
+           " (p, q) -> p * q)",
+           6,
+       )} AS survival
+FROM risked r CROSS JOIN arr
+ORDER BY t_days
+""",
+)
+def orders_kaplan_meier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.datediff(F.min("l_shipdate"), F.first("o_orderdate")).alias("lat"))
+    )
+    obs = lag.filter(F.col("lat") >= 0).select(
+        F.when(F.col("lat") <= _KM_HORIZON, F.col("lat"))
+        .otherwise(F.lit(_KM_HORIZON))
+        .alias("t"),
+        F.when(F.col("lat") <= _KM_HORIZON, 1).otherwise(0).alias("ev"),
+    )
+    n_tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        obs.filter(F.col("ev") == 1)
+        .groupBy("t")
+        .agg(F.sum("ev").cast("long").alias("d"))
+    )
+    risked = cells.crossJoin(F.broadcast(n_tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("d").over(W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    arr = risked.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", F.col("n_risk").alias("n")))).alias("a")
+    )
+    surv = F.aggregate(
+        F.filter(F.col("a"), lambda x: x["t"] <= F.col("t_days")),
+        F.lit(1.0),
+        lambda acc, x: acc * (F.lit(1.0) - x["d"].cast("double") / x["n"].cast("double")),
+    )
+    return (
+        risked.select(
+            F.col("t").alias("t_days"), "n_risk", F.col("d").alias("d_events")
+        )
+        .crossJoin(F.broadcast(arr))
+        .select("t_days", "n_risk", "d_events", pround(surv, 6).alias("survival"))
+        .orderBy("t_days")
+    )

@@ -262,3 +262,57 @@ def test_rake_scores_positive_and_formed(spark, sf_small):
     for r in rows:
         assert r["score_micro"] > 0 and r["n_occ"] >= 1
         assert 1 <= len(r["phrase"].split(" ")) <= 4
+
+
+# --- Kaplan–Meier: brute-force recompute + monotone nonincreasing ----------
+
+
+def test_kaplan_meier_matches_bruteforce(spark, sf_small):
+    lags = duckdb.sql(
+        f"""SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(min(l.l_shipdate) AS DATE)) AS lat
+            FROM '{sf_small}/orders.parquet' o
+            JOIN '{sf_small}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate"""
+    ).fetchall()
+    obs = [min(lat, 60) if lat > 60 else lat for (lat,) in lags if lat >= 0]
+    events: dict[int, int] = {}
+    for (lat,) in lags:
+        if 0 <= lat <= 60:
+            events[lat] = events.get(lat, 0) + 1
+    n = len(obs)
+    got = QUERIES["orders_kaplan_meier_ship_latency"](spark, sf_small).collect()
+    s, removed = 1.0, 0
+    prev = 1.1
+    by_t = {r["t_days"]: r for r in got}
+    assert set(by_t) == set(events)
+    for t in sorted(events):
+        n_risk = n - removed
+        s *= 1.0 - events[t] / n_risk
+        removed += events[t]
+        r = by_t[t]
+        assert r["n_risk"] == n_risk and r["d_events"] == events[t]
+        assert abs(r["survival"] - s) < 1e-6, (t, r["survival"], s)
+        assert r["survival"] <= prev + 1e-12  # monotone nonincreasing
+        prev = r["survival"]
+
+
+# --- LPA: census is a partition of the node set ----------------------------
+
+
+def test_lpa_census_bounded_by_nodes(spark, sf_small):
+    n_nodes = duckdb.sql(
+        f"SELECT count(DISTINCT l_partkey) FROM '{sf_small}/lineitem.parquet'"
+    ).fetchone()[0]
+    rows = QUERIES["part_label_propagation_communities"](spark, sf_small).collect()
+    assert rows
+    assert sum(r["n_parts"] for r in rows) <= n_nodes
+    # every community label is a real part id (labels only propagate)
+    labs = {r["community"] for r in rows}
+    parts = {
+        p
+        for (p,) in duckdb.sql(
+            f"SELECT DISTINCT l_partkey FROM '{sf_small}/lineitem.parquet'"
+        ).fetchall()
+    }
+    assert labs <= parts
