@@ -316,3 +316,23 @@ def test_lpa_census_bounded_by_nodes(spark, sf_small):
         ).fetchall()
     }
     assert labs <= parts
+
+
+def test_round7_exchange_budgets(spark, sf_small):
+    """Measured exchange counts at tuning time — a refactor that adds a
+    shuffle to an iterative/bounded-cell op fails here first."""
+    from statcan_etl_pipeline_spark.plans.metrics import profile
+
+    budgets = {
+        # 4 Pregel rounds: per-round label-join + nb groupBy, plus edge build
+        "part_label_propagation_communities": 16,
+        # all math on the bounded (months x 5) cell table
+        "orders_chain_ladder_completion": 10,
+        # 3 documents scans (raw/target/doc-weights) + bounded model joins
+        "doc_dsir_importance_weights": 10,
+        # fact collapses to <=61 cells before any per-row fold
+        "orders_kaplan_meier_ship_latency": 5,
+    }
+    for name, budget in budgets.items():
+        got = profile(QUERIES[name](spark, sf_small))["n_exchanges"]
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
