@@ -101,6 +101,8 @@ _CHECK_FIRST = [
     "tukey_hsd_pairwise",  # r7 new: post-hoc pairwise HSD verdicts
     "orders_kaplan_meier_ship_latency",  # r7 new: product-limit survival
     "part_label_propagation_communities",  # r7 new: deterministic LPA census
+    "doc_bm25_search",  # r7 new: BM25 ranked retrieval, integer scores
+    "statcan_gvf_cv_model",  # r7 new: GVF variance-smoothing OLS fit
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

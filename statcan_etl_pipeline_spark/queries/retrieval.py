@@ -282,3 +282,137 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75) for a
+# fixed 5-term query — the standard lexical search scorer (tfidf_top_
+# terms summarizes documents; this RANKS them against a query).
+# Portability: idf = ln((N−df+0.5)/(df+0.5)+1) is micro-quantized ONCE
+# per term (5 bounded values — the DSIR ln-quantization argument), the
+# tf-saturation factor tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) is micro-
+# quantized per (doc,term), and the final score is pure integer
+# arithmetic: Σ idf_micro·tf_micro div 10⁶. Scale: postings for the
+# FIVE query terms only (filter before any join), df/avgdl are bounded
+# broadcast aggregates, top-15 via ordered limit (TakeOrdered).
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("hash", "join", "vector", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "doc_bm25_search",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+  WHERE tok IN ({_bm25_terms_sql()})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), idf AS (
+  SELECT tok,
+         CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS idf_micro
+  FROM df CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(floor(
+           (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
+              * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl.dl AS DOUBLE)
+                 * CAST(stats.n_docs AS DOUBLE) / CAST(stats.tot AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tf_micro
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT s.doc_id,
+       CAST(sum(i.idf_micro * s.tf_micro // 1000000) AS BIGINT) AS bm25_micro,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored s JOIN idf i ON i.tok = s.tok
+GROUP BY s.doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT 15
+""",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_text
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text("text"), " ").alias("toks")
+    )
+    dl = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.floor(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+                + 1.0
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    tf_sat = (
+        F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0)
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B)
+            * F.col("dl").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("tot").cast("double")
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.floor(tf_sat * 1000000.0 + 0.5).cast("long").alias("tf_micro"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("idf_micro * tf_micro div 1000000"))
+            .cast("long")
+            .alias("bm25_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(15)
+    )

@@ -886,3 +886,115 @@ def orders_kaplan_meier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFr
         .select("t_days", "n_risk", "d_events", pround(surv, 6).alias("survival"))
         .orderBy("t_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Generalized variance function (GVF) fit — the survey-methods tool
+# that SMOOTHS unstable per-cell variance estimates by modeling the
+# relative variance of each (nation × segment) total as
+# relvar = a + b / x̂ and publishing CVs off the fitted curve instead
+# of the noisy direct estimates. Portability: per-cell relvar is
+# pico-quantized (1e-12) and 1/x̂ is the EXACT integer 10¹⁵ div cents,
+# so the OLS normal equations are exact DECIMAL/HUGEINT sums; a, b,
+# r² are a fixed scalar-double sequence at the end. Scale: the fact
+# table collapses to ≤125 cells before the regression.
+# ---------------------------------------------------------------------------
+@query(
+    "statcan_gvf_cv_model",
+    oracle=f"""
+WITH cells AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({sql_cents("o.o_totalprice")}) AS HUGEINT) AS s,
+         CAST(sum(CAST({sql_cents("o.o_totalprice")} AS HUGEINT)
+                  * {sql_cents("o.o_totalprice")}) AS HUGEINT) AS q
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_mktsegment
+  HAVING count(*) >= 2
+), pts AS (
+  SELECT CAST(1000000000000000 // s AS BIGINT) AS u,
+         CAST(floor(
+           ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+           / (CAST(n AS DOUBLE)
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           * 1000000000000.0 + 0.5) AS BIGINT) AS v
+  FROM cells
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(u) AS HUGEINT) AS su, CAST(sum(v) AS HUGEINT) AS sv,
+         CAST(sum(CAST(u AS HUGEINT) * v) AS HUGEINT) AS suv,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+  FROM pts
+), fit AS (
+  SELECT m,
+         (CAST(m AS DOUBLE) * CAST(suv AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)) AS covn,
+         (CAST(m AS DOUBLE) * CAST(suu AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) AS varu,
+         (CAST(m AS DOUBLE) * CAST(svv AS DOUBLE)
+          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) AS varv,
+         CAST(su AS DOUBLE) AS sud, CAST(sv AS DOUBLE) AS svd
+  FROM mom
+)
+SELECT m AS n_cells,
+       {R("(svd * 1e-12 - (covn / varu) * 1000.0 * (sud * 1e-15)) / CAST(m AS DOUBLE)", 8)} AS a,
+       {R("(covn / varu) * 1000.0", 2)} AS b,
+       {R("covn * covn / (varu * varv)", 6)} AS r2
+FROM fit
+""",
+)
+def statcan_gvf_cv_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vc = cents("o_totalprice")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vc).cast(_DEC).alias("s"),
+            F.sum((vc * vc).cast(_DEC)).alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    var = (F.col("q").cast("double") - s_d * s_d / n_d) / (n_d - F.lit(1.0))
+    relvar = var / (n_d * (s_d / n_d) * (s_d / n_d))
+    pts = cells.select(
+        F.expr("CAST(1000000000000000 div CAST(s AS BIGINT) AS BIGINT)").alias("u"),
+        F.floor(relvar * F.lit(1000000000000.0) + F.lit(0.5)).cast("long").alias("v"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("u").cast(_DEC).alias("su"),
+        F.sum("v").cast(_DEC).alias("sv"),
+        F.sum(F.col("u").cast(_DEC) * F.col("v").cast(_DEC)).alias("suv"),
+        F.sum(F.col("u").cast(_DEC) * F.col("u").cast(_DEC)).alias("suu"),
+        F.sum(F.col("v").cast(_DEC) * F.col("v").cast(_DEC)).alias("svv"),
+    )
+    m_d = F.col("m").cast("double")
+    covn = m_d * F.col("suv").cast("double") - F.col("su").cast("double") * F.col("sv").cast("double")
+    varu = m_d * F.col("suu").cast("double") - F.col("su").cast("double") * F.col("su").cast("double")
+    varv = m_d * F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv").cast("double")
+    b = (covn / varu) * F.lit(1000.0)
+    return mom.select(
+        F.col("m").alias("n_cells"),
+        pround(
+            (
+                F.col("sv").cast("double") * F.lit(1e-12)
+                - (covn / varu) * F.lit(1000.0) * (F.col("su").cast("double") * F.lit(1e-15))
+            )
+            / m_d,
+            8,
+        ).alias("a"),
+        pround(b, 2).alias("b"),
+        pround(covn * covn / (varu * varv), 6).alias("r2"),
+    )

@@ -336,3 +336,46 @@ def test_round7_exchange_budgets(spark, sf_small):
     for name, budget in budgets.items():
         got = profile(QUERIES[name](spark, sf_small))["n_exchanges"]
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+# --- BM25: brute-force recompute of the integer scoring pipeline -----------
+
+
+def test_bm25_matches_bruteforce(spark, sf_small):
+    import math
+    import re
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    terms = ("hash", "join", "vector", "stream", "window")
+    toks = {d: re.sub(r"\s+", " ", t).strip().lower().split(" ") for d, t in docs}
+    n = len(toks)
+    tot = sum(len(v) for v in toks.values())
+    tf = {d: {t: v.count(t) for t in terms if t in v} for d, v in toks.items()}
+    df = {t: sum(1 for d in tf if t in tf[d]) for t in terms}
+    idf_micro = {
+        t: math.floor(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0) * 1e6 + 0.5)
+        for t in terms if df[t]
+    }
+    scores = {}
+    for d, m in tf.items():
+        s = 0
+        for t, f in m.items():
+            sat = (f * 2.2) / (f + 1.2 * (1 - 0.75 + 0.75 * len(toks[d]) * n / tot))
+            s += idf_micro[t] * math.floor(sat * 1e6 + 0.5) // 10**6
+        if m:
+            scores[d] = (s, len(m))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
+    got = QUERIES["doc_bm25_search"](spark, sf_small).collect()
+    assert [(r["doc_id"], (r["bm25_micro"], r["n_terms_hit"])) for r in got] == want
+
+
+# --- GVF: residual relvar model explains most cell variance ----------------
+
+
+def test_gvf_fit_sane(spark, sf_small):
+    r = QUERIES["statcan_gvf_cv_model"](spark, sf_small).collect()[0]
+    assert r["n_cells"] >= 50  # 93 of 125 cells pass n>=2 at sf0.001
+    assert r["b"] > 0  # smaller totals → larger relative variance
+    assert 0.0 <= r["r2"] <= 1.0
