@@ -103,6 +103,8 @@ _CHECK_FIRST = [
     "part_label_propagation_communities",  # r7 new: deterministic LPA census
     "doc_bm25_search",  # r7 new: BM25 ranked retrieval, integer scores
     "statcan_gvf_cv_model",  # r7 new: GVF variance-smoothing OLS fit
+    "doc_perplexity_buckets",  # r7 new: CCNet head/middle/tail quality gate
+    "statcan_random_rounding_base5",  # r7 new: RR5 disclosure rounding audit
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

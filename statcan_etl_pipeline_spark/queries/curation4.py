@@ -534,3 +534,122 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+# document by its mean token negative-logprob under a hashed-unigram
+# (256-bucket) corpus LM with add-one smoothing, then split the corpus
+# into head / middle / tail quality terciles by the GLOBAL discrete
+# tercile thresholds — the standard quality-gate before LLM training.
+# Exactness: per-bucket −ln p is micro-quantized once (≤256 ln calls —
+# the DSIR argument), each doc's score is the exact integer
+# (Σ neglogp_micro · 1000) div n_tokens, and the tercile cuts are
+# quantile_disc picks of those INTEGER scores (actual stored values —
+# bit-exact). Scale: bounded LM broadcast, one explode, one groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_perplexity_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(unnest(string_split({sql_norm_text("text")}, ' '))), 1, 2)
+              AS INTEGER) % {_DSIR_B} AS BIGINT) AS b
+  FROM documents
+), lm AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY b
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM lm
+), nlp AS (
+  SELECT b,
+         CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(t + {_DSIR_B} AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nlp_micro
+  FROM lm CROSS JOIN tot
+), docsc AS (
+  SELECT t.doc_id, t.source,
+         (CAST(sum(n.nlp_micro) AS BIGINT) * 1000) // count(*) AS ce_nano
+  FROM toks t JOIN nlp n ON n.b = t.b
+  GROUP BY t.doc_id, t.source
+), cuts AS (
+  SELECT quantile_disc(ce_nano, 1.0/3.0) AS c1,
+         quantile_disc(ce_nano, 2.0/3.0) AS c2
+  FROM docsc
+), bucketed AS (
+  SELECT source,
+         CASE WHEN ce_nano <= c1 THEN 'head'
+              WHEN ce_nano <= c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         ce_nano
+  FROM docsc CROSS JOIN cuts
+)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {R("CAST(sum(ce_nano) AS DOUBLE) / count(*) / 1e9", 4)} AS mean_neglogprob
+FROM bucketed
+GROUP BY source, bucket
+ORDER BY source, bucket
+""",
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(norm_text("text"), " ")).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("long") % _DSIR_B).alias(
+            "b"
+        ),
+    )
+    lm = toks.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = lm.agg(F.sum("c").cast("long").alias("t"))
+    nlp = lm.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            -F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("t") + _DSIR_B).cast("double")
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("nlp_micro"),
+    )
+    docsc = (
+        toks.join(F.broadcast(nlp), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("(CAST(sum(nlp_micro) AS BIGINT) * 1000) div count(*)").alias(
+                "ce_nano"
+            )
+        )
+    )
+    cuts = docsc.agg(
+        F.expr(
+            "percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY ce_nano)"
+        ).alias("c1"),
+        F.expr(
+            "percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY ce_nano)"
+        ).alias("c2"),
+    )
+    bucketed = docsc.crossJoin(F.broadcast(cuts)).select(
+        "source",
+        F.when(F.col("ce_nano") <= F.col("c1"), "head")
+        .when(F.col("ce_nano") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "ce_nano",
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pround(
+                F.sum("ce_nano").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 4
+            ).alias("mean_neglogprob"),
+        )
+        .orderBy("source", "bucket")
+    )

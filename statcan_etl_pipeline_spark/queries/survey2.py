@@ -998,3 +998,99 @@ def statcan_gvf_cv_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(b, 2).alias("b"),
         pround(covn * covn / (varu * varv), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random rounding to base 5 (RR5) — StatCan's standard disclosure-
+# control treatment for frequency tables (census/NHS publication
+# rule): every cell count is rounded to a multiple of 5, rounding UP
+# with probability r/5 where r = count mod 5. This implementation
+# derandomizes the coin with an md5 hash of the cell key (reproducible
+# releases, engine-portable — the jackknife/raking digest precedent):
+# up iff md5(cell) mod 5 < r, which preserves the r/5 up-rate across
+# cells. Pure integer arithmetic; the per-nation audit shows the net
+# bias the rounding introduces. Pytest pins every published cell ≡ 0
+# (mod 5) and |cell bias| < 5.
+# ---------------------------------------------------------------------------
+@query(
+    "statcan_random_rounding_base5",
+    oracle="""
+WITH cells AS (
+  SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, o.o_orderpriority
+), coins AS (
+  SELECT nation, priority, c, c % 5 AS r,
+         CAST(CAST('0x' || substr(md5(nation || '|' || priority), 1, 2)
+              AS INTEGER) % 5 AS BIGINT) AS coin
+  FROM cells
+), rounded AS (
+  SELECT nation, c,
+         CASE WHEN r = 0 THEN c
+              WHEN coin < r THEN c - r + 5
+              ELSE c - r END AS pub
+  FROM coins
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c) AS BIGINT) AS raw_total,
+       CAST(sum(pub) AS BIGINT) AS published_total,
+       CAST(sum(pub) - sum(c) AS BIGINT) AS net_bias,
+       CAST(sum(CASE WHEN pub > c THEN 1 ELSE 0 END) AS BIGINT) AS n_rounded_up
+FROM rounded
+GROUP BY nation
+ORDER BY nation
+""",
+)
+def statcan_random_rounding_base5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    coins = cells.select(
+        "nation",
+        "c",
+        (F.col("c") % 5).alias("r"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "nation", "priority")), 1, 2
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("coin"),
+    )
+    rounded = coins.select(
+        "nation",
+        "c",
+        F.when(F.col("r") == 0, F.col("c"))
+        .when(F.col("coin") < F.col("r"), F.col("c") - F.col("r") + 5)
+        .otherwise(F.col("c") - F.col("r"))
+        .alias("pub"),
+    )
+    return (
+        rounded.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("c").cast("long").alias("raw_total"),
+            F.sum("pub").cast("long").alias("published_total"),
+            (F.sum("pub") - F.sum("c")).cast("long").alias("net_bias"),
+            F.sum(F.when(F.col("pub") > F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rounded_up"),
+        )
+        .orderBy("nation")
+    )

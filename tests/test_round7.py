@@ -379,3 +379,62 @@ def test_gvf_fit_sane(spark, sf_small):
     assert r["n_cells"] >= 50  # 93 of 125 cells pass n>=2 at sf0.001
     assert r["b"] > 0  # smaller totals → larger relative variance
     assert 0.0 <= r["r2"] <= 1.0
+
+
+# --- RR5: published cells are multiples of 5, bias bounded per cell --------
+
+
+def test_rr5_cells_published_mod5(spark, sf_small):
+    import pyspark.sql.functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+
+    rows = QUERIES["statcan_random_rounding_base5"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # net bias over k cells can never exceed 4 per cell
+        assert abs(r["net_bias"]) < 5 * r["n_cells"]
+        assert 0 <= r["n_rounded_up"] <= r["n_cells"]
+    # recompute cell-level: every published cell is ≡ 0 (mod 5) and
+    # within 4 of the raw count
+    orders = load_table(spark, sf_small, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_small, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_small, "nation").select("n_nationkey", "n_name")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    import hashlib
+
+    for cell in cells:
+        c = cell["c"]
+        r5 = c % 5
+        coin = int(
+            hashlib.md5(f"{cell['n_name']}|{cell['o_orderpriority']}".encode())
+            .hexdigest()[:2],
+            16,
+        ) % 5
+        pub = c if r5 == 0 else (c - r5 + 5 if coin < r5 else c - r5)
+        assert pub % 5 == 0 and abs(pub - c) <= 4
+
+
+# --- perplexity buckets: terciles partition the corpus ---------------------
+
+
+def test_perplexity_buckets_partition(spark, sf_small):
+    rows = QUERIES["doc_perplexity_buckets"](spark, sf_small).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_small}/documents.parquet'"
+    ).fetchone()[0]
+    assert n_total == n_docs  # every doc lands in exactly one bucket
+    by_bucket: dict[str, int] = {}
+    for r in rows:
+        by_bucket[r["bucket"]] = by_bucket.get(r["bucket"], 0) + r["n_docs"]
+        assert r["mean_neglogprob"] > 0
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # discrete terciles: head gets >= 1/3 (ties inflate), tail <= 1/3 + slack
+    assert by_bucket["head"] >= n_docs // 3
