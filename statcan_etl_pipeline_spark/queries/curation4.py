@@ -32,6 +32,8 @@ from ..functions.text import (
 )
 from ..registry import query
 
+_DEC2 = "decimal(38,0)"
+
 # ---------------------------------------------------------------------------
 # DSIR-lite importance weights (Data Selection via Importance
 # Resampling, Xie et al. 2023): hashed-unigram bag-of-words language
@@ -652,4 +654,161 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_neglogprob"),
         )
         .orderBy("source", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source sampling (the multilingual/multi-source
+# mixing rule used for LLM training corpora): sampling weight
+# p_s ∝ n_s^τ with τ = 0.7 flattens the source distribution so small
+# sources are up-sampled. n^0.7 = exp(0.7·ln n) is micro-quantized
+# ONCE per source (20 bounded values — the DSIR ln argument); shares
+# and effective epochs (p_s·T/n_s — how many times each source repeats
+# in one pass of the resampled corpus) are then fixed double
+# sequences over exact integers. The Σ n^τ normalizer folds in
+# source-sorted order (ANOVA precedent).
+# ---------------------------------------------------------------------------
+_TEMP_TAU = 0.7
+
+
+@query(
+    "corpus_temperature_sampling",
+    oracle=f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({sql_tokens(sql_norm_text("text"))})) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source
+), pw AS (
+  SELECT source, n_docs, n_toks,
+         CAST(floor(exp({_TEMP_TAU} * ln(CAST(n_toks AS DOUBLE))) * 1000000.0 + 0.5)
+              AS BIGINT) AS w_micro
+  FROM src
+), tot AS (
+  SELECT CAST(sum(n_toks) AS BIGINT) AS t_toks,
+         CAST(sum(w_micro) AS BIGINT) AS w_all
+  FROM pw
+)
+SELECT source, n_docs, n_toks,
+       {R("CAST(n_toks AS DOUBLE) / CAST(t_toks AS DOUBLE)", 6)} AS raw_share,
+       {R("CAST(w_micro AS DOUBLE) / CAST(w_all AS DOUBLE)", 6)} AS temp_share,
+       {R(
+           "(CAST(w_micro AS DOUBLE) / CAST(w_all AS DOUBLE))"
+           " * CAST(t_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)",
+           4,
+       )} AS effective_epochs
+FROM pw CROSS JOIN tot
+ORDER BY source
+""",
+)
+def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(norm_text("text"), " ")).alias("ntok")
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_toks"),
+    )
+    pw = src.select(
+        "source",
+        "n_docs",
+        "n_toks",
+        F.floor(
+            F.exp(F.lit(_TEMP_TAU) * F.log(F.col("n_toks").cast("double")))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = pw.agg(
+        F.sum("n_toks").cast("long").alias("t_toks"),
+        F.sum("w_micro").cast("long").alias("w_all"),
+    )
+    t_d = F.col("t_toks").cast("double")
+    share = F.col("w_micro").cast("double") / F.col("w_all").cast("double")
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_toks",
+            pround(F.col("n_toks").cast("double") / t_d, 6).alias("raw_share"),
+            pround(share, 6).alias("temp_share"),
+            pround(share * t_d / F.col("n_toks").cast("double"), 4).alias(
+                "effective_epochs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. 2013) — the experimentation-
+# platform adjustment that uses each user's PRE-period activity as a
+# control covariate: θ = cov(X,Y)/var(X) and the adjusted metric
+# Y − θ(X − X̄) has variance var(Y)·(1 − ρ²). Pre = Jan 1–15, post =
+# Jan 16–30; per-user totals are exact integer cents (absent period =
+# 0 — users must not drop or the covariance is biased), all moments
+# exact DECIMAL/HUGEINT, θ / ρ² a fixed scalar-double sequence.
+# Scale: one user rollup, one 1-row moment aggregate.
+# ---------------------------------------------------------------------------
+_CUPED_SPLIT = "2024-01-16"
+
+
+@query(
+    "events_cuped_variance_reduction",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                  THEN {sql_cents("value")} ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                  THEN {sql_cents("value")} ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user
+), fit AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+  FROM mom
+)
+SELECT n AS n_users,
+       {R("covn / varx", 6)} AS theta,
+       {R("100.0 * covn * covn / (varx * vary)", 4)} AS var_reduction_pct
+FROM fit
+""",
+)
+def events_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    vc = cents("value")
+    split = F.lit(_CUPED_SPLIT + " 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, vc).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(F.col("ts") >= split, vc).otherwise(0)).cast("long").alias("y"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(_DEC2).alias("sx"),
+        F.sum("y").cast(_DEC2).alias("sy"),
+        F.sum(F.col("x").cast(_DEC2) * F.col("y").cast(_DEC2)).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC2) * F.col("x").cast(_DEC2)).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC2) * F.col("y").cast(_DEC2)).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    covn = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary = n_d * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return mom.select(
+        F.col("n").alias("n_users"),
+        pround(covn / varx, 6).alias("theta"),
+        pround(F.lit(100.0) * covn * covn / (varx * vary), 4).alias(
+            "var_reduction_pct"
+        ),
     )

@@ -438,3 +438,44 @@ def test_perplexity_buckets_partition(spark, sf_small):
     assert set(by_bucket) == {"head", "middle", "tail"}
     # discrete terciles: head gets >= 1/3 (ties inflate), tail <= 1/3 + slack
     assert by_bucket["head"] >= n_docs // 3
+
+
+# --- temperature sampling: shares normalize, small sources up-sampled ------
+
+
+def test_temperature_sampling_flattens(spark, sf_small):
+    rows = QUERIES["corpus_temperature_sampling"](spark, sf_small).collect()
+    assert len(rows) == 20
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
+    smallest = min(rows, key=lambda r: r["n_toks"])
+    largest = max(rows, key=lambda r: r["n_toks"])
+    # tau < 1 up-samples small sources and down-samples large ones
+    assert smallest["temp_share"] >= smallest["raw_share"]
+    assert largest["temp_share"] <= largest["raw_share"]
+    assert smallest["effective_epochs"] >= largest["effective_epochs"]
+
+
+# --- CUPED: theta/rho2 match a direct covariance recompute -----------------
+
+
+def test_cuped_matches_direct(spark, sf_small):
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+              sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(floor(value*100.0+0.5) AS BIGINT) ELSE 0 END),
+              sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(floor(value*100.0+0.5) AS BIGINT) ELSE 0 END)
+            FROM '{sf_small}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    xs = [float(x) for _, x, _ in rows]
+    ys = [float(y) for _, _, y in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    got = QUERIES["events_cuped_variance_reduction"](spark, sf_small).collect()[0]
+    assert got["n_users"] == n
+    assert abs(got["theta"] - cov / vx) < 1e-4
+    assert abs(got["var_reduction_pct"] - 100.0 * cov * cov / (vx * vy)) < 1e-2
