@@ -730,3 +730,94 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "query_label", "negative_id", "negative_label", "rank", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall audit (Kusupati et al. 2022): how much
+# of the full-dimension top-10 neighborhood survives when cosine runs
+# on only the FIRST 16 of 64 dimensions — the measurement behind
+# serving embeddings at reduced dimension (cheaper ANN memory /
+# bandwidth) with a full-dim re-rank. Both rankings use the house
+# fixed-point cosine (bit-identical both engines; ties break on
+# neighbor_id), so the per-query overlap count is engine-exact.
+# Scale: same broadcast-queries shape as knn_bruteforce_cosine — the
+# corpus side streams, queries are bounded.
+# ---------------------------------------------------------------------------
+_MRL_DIM = 16
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {R(sql_cosine("q.embedding", "c.embedding"), 6)} AS cos_full,
+         {R(sql_cosine(f"q.embedding[1:{_MRL_DIM}]", f"c.embedding[1:{_MRL_DIM}]"), 6)} AS cos_trunc
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), rf AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS r
+  FROM pairs
+), rt AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id) AS r
+  FROM pairs
+)
+SELECT rf.query_id,
+       CAST(count(rt.neighbor_id) AS BIGINT) AS n_overlap,
+       {R(f"CAST(count(rt.neighbor_id) AS DOUBLE) / {TOP_K}.0", 2)} AS recall_at_10
+FROM rf
+LEFT JOIN rt ON rt.query_id = rf.query_id
+            AND rt.neighbor_id = rf.neighbor_id AND rt.r <= {TOP_K}
+WHERE rf.r <= {TOP_K}
+GROUP BY rf.query_id
+ORDER BY rf.query_id
+""",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine("emb_q", "emb_c"), 6).alias("cos_full"),
+            pround(
+                cosine(
+                    F.slice(F.col("emb_q"), 1, _MRL_DIM),
+                    F.slice(F.col("emb_c"), 1, _MRL_DIM),
+                ),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    wt = W.partitionBy("query_id").orderBy(F.desc("cos_trunc"), F.asc("neighbor_id"))
+    rf = pairs.select(
+        "query_id", "neighbor_id", F.row_number().over(wf).alias("r")
+    ).filter(F.col("r") <= TOP_K)
+    rt = pairs.select(
+        "query_id", "neighbor_id", F.row_number().over(wt).alias("r")
+    ).filter(F.col("r") <= TOP_K)
+    return (
+        rf.join(
+            rt.select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")),
+            (F.col("query_id") == F.col("q2")) & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("n2").cast("long").alias("n_overlap"),
+            pround(F.count("n2").cast("double") / F.lit(float(TOP_K)), 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )

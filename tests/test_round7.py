@@ -479,3 +479,14 @@ def test_cuped_matches_direct(spark, sf_small):
     assert got["n_users"] == n
     assert abs(got["theta"] - cov / vx) < 1e-4
     assert abs(got["var_reduction_pct"] - 100.0 * cov * cov / (vx * vy)) < 1e-2
+
+
+# --- Matryoshka: overlap bounded, recall consistent with its count ---------
+
+
+def test_matryoshka_recall_consistent(spark, sf_small):
+    rows = QUERIES["embedding_matryoshka_recall"](spark, sf_small).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert abs(r["recall_at_10"] - r["n_overlap"] / 10.0) < 1e-9
