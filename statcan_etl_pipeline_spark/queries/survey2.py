@@ -39,9 +39,10 @@ _DEC = "decimal(38,0)"
 # is an exact DECIMAL/HUGEINT integer. Σ_j R_j²/n_j then folds
 # per-group doubles in priority-sorted order (ANOVA precedent), and
 # the tie correction Σ(t³−t)/(N³−N) is exact-integer over double.
-# Scale: one groupBy(v, g), one groupBy(v), one cumulative window over
-# DISTINCT cents values (bounded by price cardinality, not row count),
-# then a 5-row fold.
+# Scale: one groupBy(v, g), one groupBy(v), then the HOUSE two-pass
+# bucketed prefix sum (stats._cum_two_group — the KS/MWU machinery)
+# for the cumulative-before counts: no partition-less window ever
+# touches the distinct-value set, only the 256-row bucket aggregate.
 # ---------------------------------------------------------------------------
 @query(
     "kruskal_wallis_order_value",
@@ -90,9 +91,14 @@ def kruskal_wallis_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vg = per.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
     vt = vg.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
-    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    vt2 = vt.select(
-        "v", "t", F.coalesce(F.sum("t").over(wcum), F.lit(0)).cast("long").alias("cb")
+    from .stats import _cum_two_group
+
+    vt2 = _cum_two_group(
+        vt.select("v", F.col("t").alias("c1"), F.lit(0).cast("long").alias("c2"))
+    ).select(
+        "v",
+        F.col("c1").alias("t"),
+        (F.col("cum1") - F.col("c1")).cast("long").alias("cb"),
     )
     rg = (
         vg.join(vt2, "v")
