@@ -108,6 +108,7 @@ _CHECK_FIRST = [
     "corpus_temperature_sampling",  # r7 new: tau=0.7 source mixing weights
     "events_cuped_variance_reduction",  # r7 new: CUPED theta + rho^2 audit
     "embedding_matryoshka_recall",  # r7 new: truncated-dim recall audit
+    "dedup_incremental_delta",  # r7 new: delta-vs-index dedup, no corpus self-join
     # --- everything below is driver-green from r1-r6 (backfill order) ---
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -2,6 +2,7 @@
 
 from .components import connected_components
 from .dedup import (
+    band_keys,
     exploded_shingles,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -36,6 +37,7 @@ from .temporal import (
 
 __all__ = [
     "asof_join_backward",
+    "band_keys",
     "asof_join_forward",
     "asof_join_nearest",
     "attach_binary_payload",

@@ -78,10 +78,13 @@ def minhash_signature_arrays(
     return docs.select(*cols)
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing at least one LSH band."""
+    """(doc_id, band, key) banded LSH keys — the persistable INDEX shape
+    for incremental (delta-vs-index) dedup: store this for the corpus,
+    band-join each day's delta against it, and the corpus never
+    self-joins again."""
     n_bands = n_hashes // band_rows
     bands = F.array(
         *[
@@ -96,9 +99,16 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
-        "doc_id", F.explode(bands).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one LSH band."""
+    banded = band_keys(signatures, n_hashes, band_rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

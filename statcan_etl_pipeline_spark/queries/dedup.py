@@ -650,3 +650,147 @@ def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL delta-vs-index dedup — the production shape at corpus
+# scale: the existing corpus's banded MinHash keys are a persisted
+# INDEX (operators.dedup.band_keys); each arriving delta batch (here
+# the deterministic doc_id % 10 == 7 slice, ≈10%) band-joins against
+# that index plus itself, and THE CORPUS NEVER SELF-JOINS. Candidates
+# are then exact-verified with char-5-gram shingle Jaccard, and each
+# duplicate delta doc reports its best corpus match (max Jaccard, ties
+# to the smallest doc_id via the max(struct) trick). Every score is an
+# exact integer ratio rounded once.
+# ---------------------------------------------------------------------------
+def _inc_sql() -> str:
+    from ..operators.dedup import _mh_expr
+
+    mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(N_HASHES))
+    n_bands = N_HASHES // BAND_ROWS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"mh_{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + ") AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({sql_char_shingles("norm", 5)}) AS sh FROM base
+), counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {mh} FROM sh GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), idxb AS (
+  SELECT * FROM bands WHERE doc_id % 10 <> 7
+), delb AS (
+  SELECT * FROM bands WHERE doc_id % 10 = 7
+), cand AS (
+  SELECT DISTINCT i.doc_id AS doc_idx, d.doc_id AS doc_delta
+  FROM idxb i JOIN delb d ON i.band = d.band AND i.key = d.key
+  UNION
+  SELECT DISTINCT a.doc_id AS doc_idx, b.doc_id AS doc_delta
+  FROM delb a JOIN delb b ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_idx, c.doc_delta, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_idx
+  JOIN sh sb ON sb.doc_id = c.doc_delta AND sb.sh = sa.sh
+  GROUP BY c.doc_idx, c.doc_delta
+), scored AS (
+  SELECT i.doc_idx, i.doc_delta, i.common,
+         (i.common * 1000000) // (ca.n_sh + cb.n_sh - i.common) AS j_micro
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_idx
+  JOIN counts cb ON cb.doc_id = i.doc_delta
+), best AS (
+  SELECT doc_delta,
+         CAST(-struct_extract(max(struct_pack(j := j_micro, nd := -doc_idx)), 'nd')
+              AS BIGINT) AS matched_doc,
+         CAST(max(j_micro) AS BIGINT) AS j_micro
+  FROM scored WHERE j_micro >= {int(JACCARD_TAU * 1000000)}
+  GROUP BY doc_delta
+)
+SELECT doc_delta, matched_doc,
+       {R("CAST(j_micro AS DOUBLE) / 1000000.0", 6)} AS best_jaccard
+FROM best
+ORDER BY doc_delta
+"""
+
+
+@query("dedup_incremental_delta", oracle=_inc_sql())
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_keys
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    sh = exploded_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    bands = band_keys(minhash_signature(sh, N_HASHES), N_HASHES, BAND_ROWS)
+    is_delta = F.col("doc_id") % 10 == 7
+    idxb = bands.filter(~is_delta)
+    delb = bands.filter(is_delta)
+    i = idxb.alias("i")
+    d = delb.alias("d")
+    cand_cross = (
+        i.join(d, (F.col("i.band") == F.col("d.band")) & (F.col("i.key") == F.col("d.key")))
+        .select(F.col("i.doc_id").alias("doc_idx"), F.col("d.doc_id").alias("doc_delta"))
+    )
+    a = delb.alias("a")
+    b = delb.alias("b")
+    cand_delta = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_idx"), F.col("b.doc_id").alias("doc_delta"))
+    )
+    cand = cand_cross.unionByName(cand_delta).distinct()
+    sa = sh.select(F.col("doc_id").alias("doc_idx"), F.col("sh").alias("s1"))
+    sb = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("s2"))
+    inter = (
+        cand.join(sa, "doc_idx")
+        .join(sb, (F.col("doc_delta") == F.col("d2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("doc_idx", "doc_delta")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_idx"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_delta"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(ca, "doc_idx")
+        .join(cb, "doc_delta")
+        .select(
+            "doc_idx",
+            "doc_delta",
+            F.expr("(common * 1000000) div (n_a + n_b - common)").alias("j_micro"),
+        )
+    )
+    best = (
+        scored.filter(F.col("j_micro") >= int(JACCARD_TAU * 1000000))
+        .groupBy("doc_delta")
+        .agg(
+            (-F.max(F.struct(F.col("j_micro").alias("j"), (-F.col("doc_idx")).alias("nd")))[
+                "nd"
+            ])
+            .cast("long")
+            .alias("matched_doc"),
+            F.max("j_micro").cast("long").alias("j_micro"),
+        )
+    )
+    return best.select(
+        "doc_delta",
+        "matched_doc",
+        pround(F.col("j_micro").cast("double") / F.lit(1000000.0), 6).alias(
+            "best_jaccard"
+        ),
+    ).orderBy("doc_delta")

@@ -490,3 +490,52 @@ def test_matryoshka_recall_consistent(spark, sf_small):
     for r in rows:
         assert 0 <= r["n_overlap"] <= 10
         assert abs(r["recall_at_10"] - r["n_overlap"] / 10.0) < 1e-9
+
+
+# --- incremental dedup: only delta docs reported, matches are real dups ----
+
+
+def test_incremental_dedup_delta_side_only(spark, sf_small):
+    rows = QUERIES["dedup_incremental_delta"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_delta"] % 10 == 7  # reported docs are all delta-side
+        assert r["matched_doc"] != r["doc_delta"]
+        assert r["best_jaccard"] >= 0.05
+    # a delta doc that IS a near-dup of an index doc per the batch
+    # pipeline must also be caught by the incremental path
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_small).collect()
+    }
+    from statcan_etl_pipeline_spark.operators.dedup import (
+        band_keys,
+        exploded_shingles,
+        minhash_signature,
+    )
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.functions.text import char_shingles, norm_text
+    import pyspark.sql.functions as F
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    bands = band_keys(minhash_signature(exploded_shingles(docs)))
+    # band_keys is the exact decomposition lsh_candidate_pairs uses:
+    # joining it to itself reproduces the batch candidate set
+    a, b = bands.alias("a"), bands.alias("b")
+    rebuilt = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert rebuilt == batch
