@@ -1,0 +1,98 @@
+"""Direct cross-engine pins for functions/portable.py — the bedrock
+every oracle hash comparison stands on. The 275 query parities exercise
+these indirectly; here an ADVERSARIAL value grid (exact half-boundaries,
+binary-unrepresentable decimals, powers of two, negatives, extremes)
+goes through Spark pround/cents and DuckDB sql_round/sql_cents side by
+side and must agree bit-for-bit."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pyspark.sql.functions as F
+
+from statcan_etl_pipeline_spark.functions.portable import (
+    cents,
+    money_sum,
+    pround,
+    sql_cents,
+    sql_round,
+)
+
+
+def _grid() -> list[float]:
+    vals: list[float] = []
+    # exact half-boundaries at 2dp (k/200 hits .xx5 exactly when k odd)
+    vals += [k / 200.0 for k in range(-1000, 1001, 7)]
+    # classic binary traps: stored value is NOT the decimal literal
+    vals += [2.675, 0.125, -0.125, 1.005, -1.005, 2.5, -2.5, 0.5, -0.5]
+    # powers of two and neighbors (exactly representable)
+    vals += [2.0**k for k in range(-20, 40, 3)]
+    vals += [-(2.0**k) for k in range(-20, 40, 5)]
+    # price-like magnitudes
+    vals += [12345.6789, 99999.99, -99999.99, 0.0, 1e-9, -1e-9, 1e12 + 0.005]
+    return vals
+
+
+def test_pround_and_cents_match_duckdb_bit_for_bit(spark):
+    vals = _grid()
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r["i"]: (r["p2"], r["p6"], r["c"])
+        for r in sdf.select(
+            "i",
+            pround(F.col("x"), 2).alias("p2"),
+            pround(F.col("x"), 6).alias("p6"),
+            cents(F.col("x")).cast("long").alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    want = {
+        i: (p2, p6, c)
+        for i, p2, p6, c in con.execute(
+            f"SELECT i, {sql_round('x', 2)}, {sql_round('x', 6)}, {sql_cents('x')} FROM t"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        # bit-for-bit: repr equality, not approx
+        assert repr(got[i][0]) == repr(want[i][0]), (vals[i], got[i], want[i])
+        assert repr(got[i][1]) == repr(want[i][1]), (vals[i], got[i], want[i])
+        assert got[i][2] == want[i][2], (vals[i], got[i], want[i])
+
+
+def test_pround_is_half_away_from_zero_on_exact_inputs(spark):
+    # values chosen to be EXACTLY representable so decimal intuition holds
+    cases = [(2.5, 0, 3.0), (-2.5, 0, -3.0), (0.5, 0, 1.0), (-0.5, 0, -1.0),
+             (1.25, 1, 1.3), (-1.25, 1, -1.3), (0.125, 2, 0.13), (-0.125, 2, -0.13)]
+    sdf = spark.createDataFrame([(x, n, e) for x, n, e in cases], "x double, n int, e double")
+    for x, n, e in cases:
+        got = (
+            spark.createDataFrame([(x,)], "x double")
+            .select(pround(F.col("x"), n).alias("r"))
+            .collect()[0]["r"]
+        )
+        assert got == e, (x, n, got, e)
+
+
+def test_money_sum_is_accumulation_order_independent(spark):
+    rng = random.Random(7)
+    vals = [rng.uniform(-1e5, 1e5) for _ in range(2000)]
+    expect = sum(
+        int(v * 100 + 0.5) if v >= 0 else -int(-v * 100 + 0.5) for v in vals
+    ) / 100.0
+
+    def run(order):
+        df = spark.createDataFrame([(v,) for v in order], "x double").repartition(13)
+        return df.agg(money_sum("x").alias("s")).collect()[0]["s"]
+
+    a = run(vals)
+    shuffled = vals[:]
+    rng.shuffle(shuffled)
+    b = run(shuffled)
+    assert repr(a) == repr(b)  # bit-identical regardless of order/partitioning
+    assert math.isclose(a, expect, rel_tol=0, abs_tol=1e-9)
