@@ -96,3 +96,52 @@ def test_money_sum_is_accumulation_order_independent(spark):
     b = run(shuffled)
     assert repr(a) == repr(b)  # bit-identical regardless of order/partitioning
     assert math.isclose(a, expect, rel_tol=0, abs_tol=1e-9)
+
+
+def test_text_twins_match_duckdb_on_adversarial_strings(spark):
+    """norm_text/tokens/word_shingles and their sql_* twins are the
+    substrate of every text oracle — fuzz them directly: unicode,
+    multi-whitespace runs, tabs/newlines, empty, single char, accents,
+    CJK, emoji, strings shorter than the shingle width."""
+    from statcan_etl_pipeline_spark.functions.text import (
+        norm_text,
+        sql_norm_text,
+        sql_tokens,
+        sql_word_shingles,
+        word_shingles,
+    )
+
+    texts = [
+        "", " ", "   ", "\t", "a", "A  B\tC\nD", "  leading and trailing  ",
+        "Ünïcôde Òh MY", "çédille français élève", "中文 分词 测试 字符",
+        "MiXeD CaSe WoRdS here", "one", "one two", "one two three",
+        "one two three four five", "emoji 🙂 in 🙂 text 🙂 stream",
+        "tab\tand\nnewline\r\nmix", "double  space   triple    quad",
+        "punct, still. splits? only! on-whitespace;", "ALLCAPS SENTENCE",
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: (r["norm"], r["toks"], r["sh"])
+        for r in sdf.withColumn("norm", norm_text("text"))
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("sh", word_shingles("toks", 3))
+        .select("i", "norm", "toks", "sh")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        i: (norm, toks, sh)
+        for i, norm, toks, sh in con.execute(
+            f"""SELECT i, {sql_norm_text('text')} AS norm,
+                 {sql_tokens(sql_norm_text('text'))} AS toks,
+                 {sql_word_shingles(sql_tokens(sql_norm_text('text')), 3)} AS sh
+               FROM t"""
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], (texts[i], got[i][0], want[i][0])
+        assert list(got[i][1]) == list(want[i][1]), (texts[i], got[i][1], want[i][1])
+        assert list(got[i][2]) == list(want[i][2]), (texts[i], got[i][2], want[i][2])
