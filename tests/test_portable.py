@@ -145,3 +145,53 @@ def test_text_twins_match_duckdb_on_adversarial_strings(spark):
         assert got[i][0] == want[i][0], (texts[i], got[i][0], want[i][0])
         assert list(got[i][1]) == list(want[i][1]), (texts[i], got[i][1], want[i][1])
         assert list(got[i][2]) == list(want[i][2]), (texts[i], got[i][2], want[i][2])
+
+
+def test_vector_twins_match_duckdb_on_adversarial_vectors(spark):
+    """dot_fixed / cosine and their sql_* twins power every similarity
+    and ANN oracle. Adversarial cases: zero vectors (cosine NULL on
+    both engines), negatives, tiny and large components, antiparallel
+    and identical vectors."""
+    from statcan_etl_pipeline_spark.functions.portable import pround as _pr
+    from statcan_etl_pipeline_spark.functions.vectors import (
+        cosine,
+        dot_fixed,
+        sql_cosine,
+        sql_dot_fixed,
+    )
+
+    vecs = [
+        ([0.0, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),       # zero vs x -> NULL
+        ([1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]),       # identical -> 1
+        ([1.0, 2.0, 3.0, 4.0], [-1.0, -2.0, -3.0, -4.0]),   # antiparallel -> -1
+        ([0.5, -0.25, 0.125, -0.0625], [0.1, 0.2, -0.3, 0.4]),
+        ([1e-6, 2e-6, -3e-6, 4e-6], [5.0, -6.0, 7.0, -8.0]),
+        ([100.5, -200.25, 300.125, -0.005], [1.0, 1.0, 1.0, 1.0]),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(vecs)],
+        "i long, a array<double>, b array<double>",
+    )
+    got = {
+        r["i"]: (r["d"], r["c"])
+        for r in sdf.select(
+            "i",
+            dot_fixed("a", "b").alias("d"),
+            _pr(cosine("a", "b"), 6).alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(i BIGINT, a DOUBLE[], b DOUBLE[])")
+    con.executemany("INSERT INTO v VALUES (?, ?, ?)", [(i, a, b) for i, (a, b) in enumerate(vecs)])
+    want = {
+        i: (d, c)
+        for i, d, c in con.execute(
+            f"SELECT i, {sql_dot_fixed('a', 'b')}, {sql_round(sql_cosine('a', 'b'), 6)} FROM v"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], (vecs[i], got[i], want[i])
+        assert repr(got[i][1]) == repr(want[i][1]), (vecs[i], got[i], want[i])
+    assert got[0][1] is None          # zero vector -> NULL cosine, both engines
+    assert got[1][1] == 1.0 and got[2][1] == -1.0
