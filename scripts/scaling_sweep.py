@@ -10,6 +10,7 @@ grow FASTER than input (its Σ C(d_z, 2) lower bound) — which is why it
 carries a hub cap.
 
 Usage: python scripts/scaling_sweep.py [--runs 2] [--out SCALING.md]
+           [--testdata DIR] [--sfs sf0.001,sf0.01,sf0.1]
 """
 
 from __future__ import annotations
@@ -24,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from statcan_etl_pipeline_spark.registry import QUERIES  # noqa: E402
 
-SFS = ["sf0.001", "sf0.01", "sf0.1"]
-TESTDATA = "/root/testdata"
+DEFAULT_SFS = "sf0.001,sf0.01,sf0.1"
+DEFAULT_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 # query -> (family, driving table)
 SWEEP = {
@@ -59,7 +60,30 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--testdata",
+        default=DEFAULT_TESTDATA,
+        help="root dir holding the sf*/ parquet layouts "
+        "(default $SPARK_GRAFT_TESTDATA or /root/testdata)",
+    )
+    ap.add_argument(
+        "--sfs",
+        default=DEFAULT_SFS,
+        help="comma-separated sf dir names, smallest first",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the sweep queries to run",
+    )
     args = ap.parse_args()
+    TESTDATA = args.testdata
+    SFS = args.sfs.split(",")
+    sweep = {
+        k: v
+        for k, v in SWEEP.items()
+        if args.queries is None or k in args.queries.split(",")
+    }
 
     from statcan_etl_pipeline_spark.session import get_spark
 
@@ -69,13 +93,13 @@ def main() -> None:
     rows = {
         sf: {
             t: spark.read.parquet(f"{TESTDATA}/{sf}/{t}.parquet").count()
-            for t in {tab for _, tab in SWEEP.values()}
+            for t in {tab for _, tab in sweep.values()}
         }
         for sf in SFS
     }
 
     results: dict[str, dict[str, float]] = {}
-    for name in SWEEP:
+    for name in sweep:
         results[name] = {}
         for sf in SFS:
             best = None
@@ -87,17 +111,19 @@ def main() -> None:
             results[name][sf] = round(best, 3)
             print(f"  {name} @ {sf}: {results[name][sf]} s", file=sys.stderr)
 
+    lo, hi = SFS[0], SFS[-1]
+    t_cols = " | ".join(f"t({sf})" for sf in SFS)
     lines = [
-        "| query | family | driving rows 0.001→0.1 | t(sf0.001) | t(sf0.01) | t(sf0.1) | t ratio 0.01→0.1 (data 10×) |",
-        "|---|---|---|---|---|---|---|",
+        f"| query | family | driving rows {lo}→{hi} | {t_cols} | t ratio {SFS[-2]}→{hi} |",
+        "|---" * (4 + len(SFS)) + "|",
     ]
-    for name, (family, tab) in SWEEP.items():
+    for name, (family, tab) in sweep.items():
         r = results[name]
-        ratio = r["sf0.1"] / r["sf0.01"] if r["sf0.01"] else float("nan")
+        ratio = r[hi] / r[SFS[-2]] if r[SFS[-2]] else float("nan")
+        times = " | ".join(f"{r[sf]:.2f} s" for sf in SFS)
         lines.append(
-            f"| `{name}` | {family} | {rows['sf0.001'][tab]:,}→{rows['sf0.1'][tab]:,}"
-            f" | {r['sf0.001']:.2f} s | {r['sf0.01']:.2f} s | {r['sf0.1']:.2f} s"
-            f" | **{ratio:.1f}×** |"
+            f"| `{name}` | {family} | {rows[lo][tab]:,}→{rows[hi][tab]:,}"
+            f" | {times} | **{ratio:.1f}×** |"
         )
     table = "\n".join(lines)
     print(table)

@@ -91,7 +91,8 @@ def profile(df: DataFrame) -> dict[str, int]:
 def streaming_state_metrics(query) -> dict[str, dict[str, int]]:
     """Per-operator state-store metrics from a StreamingQuery's progress
     history: {operatorName: {"rows": max numRowsTotal, "bytes": max
-    memoryUsedBytes, "rows_dropped_by_watermark": total}}.
+    memoryUsedBytes, "rows_dropped_by_watermark": total across
+    batches}}.
 
     State growth is the streaming twin of shuffle growth: an unbounded
     state store is the thing that kills a 100 TB stream weeks after it
@@ -99,9 +100,20 @@ def streaming_state_metrics(query) -> dict[str, dict[str, int]]:
     so a watermark regression fails CI the way a shuffle-budget
     regression already does. Works on both StreamingQueryProgress
     objects (Spark 4) and raw progress dicts.
+
+    Progress entries are deduplicated by batchId before aggregating:
+    `lastProgress` is normally already the final element of
+    `recentProgress`, so naively appending it would double-count the
+    final batch's dropped-row total (harmless for the max-aggregated
+    rows/bytes, wrong for the summed drop counter).
     """
     out: dict[str, dict[str, int]] = {}
+    seen_batches: set = set()
     for p in list(query.recentProgress) + ([query.lastProgress] if query.lastProgress else []):
+        batch_id = p["batchId"] if isinstance(p, dict) else p.batchId
+        if batch_id in seen_batches:
+            continue
+        seen_batches.add(batch_id)
         ops = p["stateOperators"] if isinstance(p, dict) else p.stateOperators
         for i, op in enumerate(ops):
             if isinstance(op, dict):
@@ -117,7 +129,5 @@ def streaming_state_metrics(query) -> dict[str, dict[str, int]]:
             cur = out.setdefault(name, {"rows": 0, "bytes": 0, "rows_dropped_by_watermark": 0})
             cur["rows"] = max(cur["rows"], int(rows))
             cur["bytes"] = max(cur["bytes"], int(mem))
-            cur["rows_dropped_by_watermark"] = max(
-                cur["rows_dropped_by_watermark"], int(dropped)
-            )
+            cur["rows_dropped_by_watermark"] += int(dropped)
     return out

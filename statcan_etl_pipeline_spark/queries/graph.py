@@ -284,9 +284,15 @@ def part_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max(struct(w, -label)) trick), isolated nodes keep their own label.
 # The oracle unrolls the rounds as CTEs (the Markov/PageRank
 # precedent). Scale shape: labels are O(|V|) and join edges per round
-# Pregel-style (broadcastable at the dim side; pre-partition edges by
-# dst at 100 TB); per-order pair fan-out is capped by the ≤8-part
-# order filter, so |E| is linear in orders.
+# Pregel-style; the edge table is built ONCE and its shuffle is paid
+# ONCE — AQE exchange reuse dedupes the identical edge subtree across
+# the 4 unrolled rounds (measured: 15 executed exchanges with
+# ReusedExchange on the edge side; an explicit repartition("src") was
+# strictly worse, +1 exchange / +26% shuffle bytes — pinned in
+# tests/test_exec_metrics.py::test_lpa_edges_shuffle_once_not_per_round).
+# Per-order pair fan-out is capped by the ≤8-part order filter, so
+# |E| is linear in orders; at 100 TB persist `edges` bucketed by src
+# (sinks/compaction.py) so successive LPA runs skip the build stage.
 # ---------------------------------------------------------------------------
 _LPA_ROUNDS = 4
 _LPA_ORDER_CAP = 8

@@ -183,7 +183,7 @@ ORDER BY j.segment
 def survey_winsorized_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
     )
     caps = j.groupBy("segment").agg(
@@ -272,7 +272,7 @@ ORDER BY segment
 def survey_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         (
             F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2), 16, 10)
@@ -387,7 +387,7 @@ def survey_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     vc = cents("o_totalprice")
     strat = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -497,7 +497,7 @@ def atkinson_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     tagged = (
         spend.filter(F.col("x") > 0)
-        .join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        .join(cust, spend.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -960,7 +960,7 @@ def statcan_gvf_cv_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     vc = cents("o_totalprice")
     cells = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(
@@ -1056,7 +1056,7 @@ def statcan_random_rounding_base5(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cells = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -67,3 +67,22 @@ def test_shuffle_budget_headline_queries(spark, sf_small):
         df = QUERIES[name](spark, sf_small)
         got = profile(df)["n_exchanges"]
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_lpa_edges_shuffle_once_not_per_round(spark, sf_small):
+    """part_label_propagation_communities runs 4 synchronized rounds,
+    each joining the edge table against the label state. The edge-side
+    shuffle must NOT be paid per round: AQE's exchange reuse dedupes
+    the identical edge subtree across the unrolled plan (measured: an
+    explicit repartition('src') is strictly WORSE — +1 exchange, +26%
+    shuffle bytes — so the declarative plan is the tuned one). Pin
+    both the total executed-exchange budget and that reuse actually
+    happened, so a refactor that breaks subtree identity (and silently
+    re-shuffles edges 4x) fails here."""
+    df = QUERIES["part_label_propagation_communities"](spark, sf_small)
+    p = profile(df)
+    # measured 15 at tuning time: edge-build (pp distinct + small +
+    # pair agg) + ONE edge exchange + per-round label-side exchanges
+    assert p["n_exchanges"] <= 16, p
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "edge exchange must be reused across rounds"

@@ -3,7 +3,48 @@ visible in the plans Catalyst actually produces."""
 
 from __future__ import annotations
 
+import pytest
+
 from statcan_etl_pipeline_spark.registry import QUERIES
+
+_TABLES = (
+    "customer", "orders", "lineitem", "part", "supplier",
+    "nation", "region", "events", "documents", "embeddings",
+)
+
+
+def _broadcast_scan_tables(spark, name, sf_dir) -> set[str]:
+    """Tables whose file scans feed a BroadcastExchange UN-aggregated —
+    i.e. the broadcast side is the raw table, not a bounded aggregate
+    of it. An Aggregate node between the exchange and the scan resets
+    the flag: broadcasting a groupBy(segment) cap table built FROM fact
+    scans is the sanctioned pattern; broadcasting the fact table is
+    the 8-GB-limit violation."""
+    root = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
+    found: set[str] = set()
+
+    def walk(node, under_bcast: bool) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), under_bcast)
+            return
+        if "QueryStageExec" in cls:
+            walk(node.plan(), under_bcast)
+            return
+        if "FileSourceScan" in cls and under_bcast:
+            desc = node.toString()
+            for t in _TABLES:
+                if f"{t}.parquet" in desc:
+                    found.add(t)
+        under = under_bcast or "BroadcastExchange" in cls
+        if "Aggregate" in cls:
+            under = False
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i), under)
+
+    walk(root, False)
+    return found
 
 
 def _plan(spark, name, sf_dir) -> str:
@@ -567,6 +608,33 @@ def test_ht_audit_no_fact_broadcast(spark, sf_small):
         plan = _plan(spark, "survey_ht_total_audit", sf_small)
         assert "BroadcastHashJoin" not in plan, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "survey_winsorized_total",
+        "survey_jackknife_variance",
+        "survey_neyman_allocation",
+        "atkinson_inequality_by_nation",
+        "statcan_gvf_cv_model",
+        "statcan_random_rounding_base5",
+    ],
+)
+def test_survey2_no_fact_side_broadcast(spark, sf_small, qname):
+    """The survey2 estimation queries all join orders x customer — both
+    fact-scale at 100 TB, so neither may carry an explicit broadcast
+    hint (the survey_ht_total_audit discipline). With the auto
+    threshold disabled, any scan still under a BroadcastExchange can
+    only come from a hint — dims (nation) and bounded aggregates (caps)
+    are allowed; customer/orders/lineitem are not."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bcast = _broadcast_scan_tables(spark, qname, sf_small)
+        assert not bcast & {"customer", "orders", "lineitem"}, bcast
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

@@ -147,6 +147,69 @@ def test_text_twins_match_duckdb_on_adversarial_strings(spark):
         assert list(got[i][2]) == list(want[i][2]), (texts[i], got[i][2], want[i][2])
 
 
+def test_ln_micro_quantization_matches_duckdb_bit_for_bit(spark):
+    """The LAST two math-library dependencies in the oracle surface:
+    doc_bm25_search's idf (retrieval.py) and doc_dsir_importance_weights'
+    log-ratio (curation4.py) both micro-quantize a natural log as
+    floor(ln(x)*1e6 + 0.5). Cross-engine hash equality there rests on
+    JVM StrictMath.log and DuckDB std::log agreeing to within the
+    half-ulp guard at every argument either query can produce. Pin it
+    on an adversarial grid: every BM25 idf argument shape
+    (N - df + 0.5)/(df + 0.5) + 1 over a dense (N, df) lattice, DSIR
+    rational ratios (a/b)*(c/d) over small-integer lattices, exact
+    powers of e's nearest double, values microscopically adjacent to
+    quantization boundaries, and a broad random log-uniform sweep."""
+    import itertools
+
+    vals: list[float] = []
+    # BM25 idf arguments: (N - df + 0.5) / (df + 0.5) + 1.0
+    for n in [1, 2, 3, 5, 10, 100, 500, 5000, 10**6, 10**9]:
+        for df in [1, 2, 3, 7, 50, 499, 4999]:
+            if df <= n:
+                vals.append((n - df + 0.5) / (df + 0.5) + 1.0)
+    # DSIR ratios: ((ct+1)/(t_tot+B)) * ((r_tot+B)/(cr+1)), B = 256
+    for ct, cr in itertools.product([0, 1, 5, 100, 10**4], repeat=2):
+        for t_tot, r_tot in [(10**3, 10**4), (5 * 10**4, 5 * 10**4), (7, 11)]:
+            vals.append(((ct + 1) / (t_tot + 256)) * ((r_tot + 256) / (cr + 1)))
+    # ln(x) exactly k: x = double nearest e^k — the floor-boundary trap
+    for k in range(-12, 13):
+        x = math.exp(k)
+        for bump in (-2, -1, 0, 1, 2):
+            vals.append(math.nextafter(x, math.inf if bump > 0 else -math.inf)
+                        if bump else x)
+    # boundary-adjacent: x where ln(x)*1e6 + 0.5 is within ~1 ulp of int
+    for m in range(-20, 2000, 37):
+        vals.append(math.exp((m + 0.5 - 0.5) / 1e6))  # ln ~ m/1e6 exactly-ish
+        vals.append(math.exp((m + 0.4999995) / 1e6))
+    # broad random log-uniform sweep over the plausible argument range
+    rng = random.Random(42)
+    vals += [math.exp(rng.uniform(-15, 25)) for _ in range(3000)]
+    vals = [v for v in vals if v > 0]
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = {
+        r["i"]: r["lnm"]
+        for r in sdf.select(
+            "i",
+            F.floor(F.log("x") * 1000000.0 + 0.5).cast("long").alias("lnm"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    want = {
+        i: lnm
+        for i, lnm in con.execute(
+            "SELECT i, CAST(floor(ln(x) * 1000000.0 + 0.5) AS BIGINT) FROM t"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    mismatches = [(vals[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not mismatches, mismatches[:10]
+
+
 def test_vector_twins_match_duckdb_on_adversarial_vectors(spark):
     """dot_fixed / cosine and their sql_* twins power every similarity
     and ANN oracle. Adversarial cases: zero vectors (cosine NULL on
