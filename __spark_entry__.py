@@ -28,89 +28,120 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- the 36 round-6 queries that have never been inside a driver
-    # window (VERDICT r6 item 1): they fill positions 0-35 so
-    # CORRECTNESS_r07 clears the whole backlog in one pass ---
-    "events_multitouch_attribution",  # exact dyadic-weight attribution
-    "events_value_quartile_bands",  # discrete quartile band census
-    "lineitem_tax_audit",  # effective tax-rate reconciliation
-    "orders_latency_qq_by_priority",  # matched-decile QQ diagnostic
-    "events_error_pchart",  # SPC p-chart with 3-sigma limits
-    "copurchase_part_similarity",  # self-join-free wedge rewrite
-    "bom_explosion_recursive",  # Spark-side WITH RECURSIVE (one SQL text both engines)
-    "orders_calendar_spine_recursive",  # recursive month spine + gap-preserving join
-    "doc_novelty_by_order",  # first-occurrence crawl novelty per doc
-    "corpus_cross_source_overlap",  # exact shingle Jaccard between source pairs
-    "events_ohlc_hourly",  # OHLC resample bars (min_by/max_by struct key)
-    "revenue_contribution_growth",  # MoM growth decomposition by priority
-    "dedup_cluster_size_census",  # near-dup cluster size distribution
-    "embedding_interclass_similarity",  # label-centroid cosine matrix
-    "multimodal_frame_catalog",  # mapInPandas frame sampler under full oracle
-    "statcan_revision_analysis",  # first-vs-final estimate vintage summary
-    "stratified_sample_exact",  # exact ceil(10%) per-stratum selection
-    "collated_segment_rollup",  # Spark-4 COLLATE UTF8_LCASE grouping
-    "er_supplier_name_pairs",  # FastSS deletion-neighborhood entity resolution
-    "session_top_paths",  # session journey mining (top event-type paths)
-    "user_weekly_survival",  # discrete cohort survival curve
-    "join_key_skew_report",  # pre-shuffle join-key skew diagnostic
-    "events_ewma_daily",  # sequential-fold EWMA (bit-identical cross-engine)
-    "price_index_fisher",  # Laspeyres/Paasche/Fisher vs 1995 base basket
-    "customer_value_migration",  # two-pass exact-rank quartile migration
-    "events_error_alert_transitions",  # integer-threshold alert state machine
-    "orders_backlog_aging",  # open-order aging as-of broadcast anchor
-    "minhash_jaccard_calibration",  # sketch est-vs-exact Jaccard audit
-    "nation_trade_balance",  # bilateral flow matrix, symmetric-key fold
-    "statcan_cell_suppression",  # disclosure-control count+dominance rules
-    "statcan_cv_quality_grades",  # CV letter grades, exact-integer boundaries
-    "statcan_calendarization",  # interval→month proration (temporal disagg)
-    "ngram_pmi_collocations",  # PMI-lift bigram collocations
-    "business_day_ship_latency",  # closed-form weekday interval math
-    "events_cusum_drift",  # integer CUSUM change-point fold
-    "events_autocorr_lags",  # calendar-aligned lag autocorrelation
-    # --- round-7 new/touched queries: every query added or modified
-    # this round re-verifies inside the same window ---
-    "approx_distinct_parts_by_flag",  # r7: now full-oracle error-band audit
-    "approx_quantiles_order_value",  # r7: now full-oracle rank-band audit
-    "shingle_df_spectrum",  # r7: integer bit-length bin (ADVICE fix)
-    "survey_ht_total_audit",  # r7: fact-side broadcast dropped (ADVICE fix)
-    "asof_join_cogrouped",  # r7 new: cogrouped applyInPandas merge_asof
-    "doc_token_arrow_stats",  # r7 new: mapInArrow corpus token stats
-    "orders_column_profile",  # r7 new: ANALYZE-style column profiler
-    "events_hour_of_week_profile",  # r7 new: dow-x-hour traffic fingerprint
-    "doc_script_mix",  # r7 new: charset-class corpus QA census
-    "text_stopword_profile",  # r7 new: HOF stopword census, no token explode
-    "events_zseason_weekday_lift",  # r7 new: weekday lift vs daily totals
-    "part_brand_price_ladder",  # r7 new: within-brand price positioning
-    "orders_priority_mix_shift",  # r7 new: yearly priority mix-shift decomposition
-    "lineitem_quantity_mode_profile",  # r7 new: exact per-flag quantity mode
-    # --- round-7 batch 2 (positions 50+: first in line for the NEXT
-    # window; green under the local sf0.001+sf0.01 parity sweep) ---
-    "kruskal_wallis_order_value",  # r7 new: doubled-midrank KW H + tie correction
-    "survey_winsorized_total",  # r7 new: type-2 winsorized totals at disc P95
-    "survey_jackknife_variance",  # r7 new: delete-a-group jackknife SE/CV
-    "survey_neyman_allocation",  # r7 new: Neyman allocation, largest remainder
-    "atkinson_inequality_by_nation",  # r7 new: exact harmonic-mean Atkinson(2)
-    "doc_dsir_importance_weights",  # r7 new: hashed-unigram DSIR log-ratios
-    "doc_shingle_containment",  # r7 new: asymmetric subset-dup containment
-    "event_type_trigrams",  # r7 new: behavioural trigram mining
-    "events_bounce_rate_daily",  # r7 new: single-event session share
-    "doc_rrf_quality_fusion",  # r7 new: integer reciprocal-rank fusion
-    "hll_mergeable_rollup",  # r7 new: two-level sketch union, band-audited
-    "text_rake_keywords",  # r7 new: RAKE phrases, integer deg/freq scores
-    "orders_chain_ladder_completion",  # r7 new: development-triangle nowcast
-    "tukey_hsd_pairwise",  # r7 new: post-hoc pairwise HSD verdicts
-    "orders_kaplan_meier_ship_latency",  # r7 new: product-limit survival
-    "part_label_propagation_communities",  # r7 new: deterministic LPA census
-    "doc_bm25_search",  # r7 new: BM25 ranked retrieval, integer scores
-    "statcan_gvf_cv_model",  # r7 new: GVF variance-smoothing OLS fit
-    "doc_perplexity_buckets",  # r7 new: CCNet head/middle/tail quality gate
-    "statcan_random_rounding_base5",  # r7 new: RR5 disclosure rounding audit
-    "corpus_temperature_sampling",  # r7 new: tau=0.7 source mixing weights
-    "events_cuped_variance_reduction",  # r7 new: CUPED theta + rho^2 audit
-    "embedding_matryoshka_recall",  # r7 new: truncated-dim recall audit
-    "dedup_incremental_delta",  # r7 new: delta-vs-index dedup, no corpus self-join
-    # --- everything below is driver-green from r1-r6 (backfill order) ---
-    "dedup_minhash_lsh",
+    # --- ROUND 9 WINDOW, positions 0-23: the 24 r7 queries that have
+    # NEVER been driver-hash-verified (VERDICT r8 item 1 — they sat at
+    # [50:74] for two rounds). Six of them (survey_winsorized_total,
+    # survey_jackknife_variance, survey_neyman_allocation,
+    # atkinson_inequality_by_nation, statcan_gvf_cv_model,
+    # statcan_random_rounding_base5) were also MODIFIED in r8
+    # (broadcast-hint removals) and so carry modified-unverified code.
+    # Once CORRECTNESS_r09 is green, every registered query has driver
+    # hash evidence at least once. ---
+    "kruskal_wallis_order_value",  # doubled-midrank KW H + tie correction
+    "survey_winsorized_total",  # r8-modified: fact broadcast dropped
+    "survey_jackknife_variance",  # r8-modified: fact broadcast dropped
+    "survey_neyman_allocation",  # r8-modified: fact broadcast dropped
+    "atkinson_inequality_by_nation",  # r8-modified: fact broadcast dropped
+    "statcan_gvf_cv_model",  # r8-modified: fact broadcast dropped
+    "statcan_random_rounding_base5",  # r8-modified: fact broadcast dropped
+    "doc_dsir_importance_weights",  # hashed-unigram DSIR log-ratios
+    "doc_shingle_containment",  # asymmetric subset-dup containment
+    "event_type_trigrams",  # behavioural trigram mining
+    "events_bounce_rate_daily",  # single-event session share
+    "doc_rrf_quality_fusion",  # integer reciprocal-rank fusion
+    "hll_mergeable_rollup",  # two-level sketch union, band-audited
+    "text_rake_keywords",  # RAKE phrases, integer deg/freq scores
+    "orders_chain_ladder_completion",  # development-triangle nowcast
+    "tukey_hsd_pairwise",  # post-hoc pairwise HSD verdicts
+    "orders_kaplan_meier_ship_latency",  # product-limit survival
+    "part_label_propagation_communities",  # deterministic LPA census
+    "doc_bm25_search",  # BM25 ranked retrieval, integer scores
+    "doc_perplexity_buckets",  # CCNet head/middle/tail quality gate
+    "corpus_temperature_sampling",  # tau=0.7 source mixing weights
+    "events_cuped_variance_reduction",  # CUPED theta + rho^2 audit
+    "embedding_matryoshka_recall",  # truncated-dim recall audit
+    "dedup_incremental_delta",  # delta-vs-index dedup, no corpus self-join
+    # --- positions 24-49: round-9 new queries (added this round → must
+    # be in this round's window per the SURVEY §5 invariant), then a
+    # re-verify rotation biased toward recently-touched code: the r6
+    # plan-touched set, graph.py (r8 docstring/budget work), approx.py,
+    # and the bench headliners whose plans the perf work leans on. ---
+    "tfidf_top_terms",  # r6-touched: doc-count folded into plan
+    "dedup_ngram_jaccard",  # r6-touched: hot-shingle df cap
+    "text_quality_score",  # r6-touched: trailing orderBy dropped
+    "text_stats",  # r6-touched: trailing orderBy dropped
+    "text_fingerprint",  # r6-touched: trailing orderBy dropped
+    "boilerplate_ngram_ratio",  # r6-touched: trailing orderBy dropped
+    "part_copurchase_triangles",  # r6-touched: even-int wedge halves
+    "price_qty_regression_by_type",  # r6-touched: zero-denom OLS guard
+    "customer_repurchase_cycle",  # r9-modified: customer broadcast dropped
+    "nation_trade_balance",  # r9-modified: customer broadcast dropped
+    "spearman_price_acctbal",  # r9-modified: customer broadcast dropped
+    "statcan_allocation_largest_remainder",  # r9-modified: bcast dropped
+    "pipeline_topk_per_segment",  # r9-modified: spec broadcast=False
+    "mwu_order_value_segments",  # r9-modified: customer broadcast dropped
+    "graph_pagerank",  # graph.py touched r8 (LPA exchange budget)
+    "q1_pricing_summary",  # bench headliner re-verify
+    "q3_top_unshipped",  # bench headliner re-verify
+    "q5_local_supplier_volume",  # bench headliner re-verify
+    "q9_product_profit",  # bench headliner re-verify
+    "q18_large_orders",  # bench headliner re-verify
+    "agg_rollup_sales",  # bench headliner re-verify
+    "window_top3_parts_per_supplier",  # bench headliner re-verify
+    "sessionize_events",  # bench headliner re-verify
+    "dedup_minhash_lsh",  # bench headliner re-verify
+    "knn_bruteforce_cosine",  # bench headliner re-verify
+    "asof_join_purchase_to_view",  # bench headliner re-verify
+    # --- everything below is driver-green from r1-r8 (backfill order) ---
+    "events_multitouch_attribution",
+    "events_value_quartile_bands",
+    "lineitem_tax_audit",
+    "orders_latency_qq_by_priority",
+    "events_error_pchart",
+    "copurchase_part_similarity",
+    "bom_explosion_recursive",
+    "orders_calendar_spine_recursive",
+    "doc_novelty_by_order",
+    "corpus_cross_source_overlap",
+    "events_ohlc_hourly",
+    "revenue_contribution_growth",
+    "dedup_cluster_size_census",
+    "embedding_interclass_similarity",
+    "multimodal_frame_catalog",
+    "statcan_revision_analysis",
+    "stratified_sample_exact",
+    "collated_segment_rollup",
+    "er_supplier_name_pairs",
+    "session_top_paths",
+    "user_weekly_survival",
+    "join_key_skew_report",
+    "events_ewma_daily",
+    "price_index_fisher",
+    "customer_value_migration",
+    "events_error_alert_transitions",
+    "orders_backlog_aging",
+    "minhash_jaccard_calibration",
+    "statcan_cell_suppression",
+    "statcan_cv_quality_grades",
+    "statcan_calendarization",
+    "ngram_pmi_collocations",
+    "business_day_ship_latency",
+    "events_cusum_drift",
+    "events_autocorr_lags",
+    "approx_distinct_parts_by_flag",
+    "approx_quantiles_order_value",
+    "shingle_df_spectrum",
+    "survey_ht_total_audit",
+    "asof_join_cogrouped",
+    "doc_token_arrow_stats",
+    "orders_column_profile",
+    "events_hour_of_week_profile",
+    "doc_script_mix",
+    "text_stopword_profile",
+    "events_zseason_weekday_lift",
+    "part_brand_price_ladder",
+    "orders_priority_mix_shift",
+    "lineitem_quantity_mode_profile",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "multimodal_binary_meta",
@@ -139,15 +170,11 @@ _CHECK_FIRST = [
     "array_hof_user_digest",
     "grouping_sets_flags",
     "window_range_7day_revenue",
-    "cms_word_frequency",
-    "kmv_distinct_parts",
     "range_join_events_after_signup",
-    "events_tumbling_1h",
     "events_funnel_conversion",
     "histogram_order_values",
     "events_sliding_1h_15m",
     "setops_active_users",
-    "pipeline_topk_per_segment",
     "rfm_segments",
     "events_hourly_anomalies",
     "basket_part_affinity",
@@ -159,16 +186,6 @@ _CHECK_FIRST = [
     "corpus_quality_filter",
     "corpus_vocab_stats",
     "embedding_norm_stats",
-    "knn_bruteforce_cosine",
-    # --- touched in r6 (already driver-green in r2-r5; pytest parity re-covers) ---
-    "tfidf_top_terms",  # doc-count folded into plan (no eager count action)
-    "dedup_ngram_jaccard",  # hot-shingle df cap added to jaccard_pairs
-    "text_quality_score",  # trailing global orderBy dropped
-    "text_stats",  # trailing global orderBy dropped
-    "text_fingerprint",  # trailing global orderBy dropped
-    "boilerplate_ngram_ratio",  # trailing global orderBy dropped
-    "part_copurchase_triangles",  # wedge sum switched to exact even-int halves
-    "price_qty_regression_by_type",  # zero-denominator OLS guard added
 ]
 
 
