@@ -660,7 +660,9 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     flows = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), od.o_custkey == cu.c_custkey)
+        # customer is fact-scale at 100 TB — never broadcast its raw
+        # scan (8 GB limit); supplier/nation stay broadcast dims.
+        .join(cu.select("c_custkey", "c_nationkey"), od.o_custkey == cu.c_custkey)
         .join(F.broadcast(su.select("s_suppkey", "s_nationkey")), li.l_suppkey == su.s_suppkey)
         .join(
             F.broadcast(na.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("from_nation"))),

@@ -147,7 +147,10 @@ def customer_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap"),
     ).filter(F.col("gap").isNotNull())
-    gaps = seq.join(F.broadcast(cust), seq.o_custkey == cust.c_custkey).select(
+    # orders x customer is fact x fact at 100 TB: no broadcast hint —
+    # the 8 GB broadcast limit makes a customer-side broadcast a
+    # scale-killer; let AQE pick the shuffle join strategy.
+    gaps = seq.join(cust, seq.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), "gap"
     )
     return (

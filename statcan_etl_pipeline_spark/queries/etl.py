@@ -373,7 +373,10 @@ def _topk_spec(out_path: str) -> dict:
         "source": "orders",
         "steps": [
             {"op": "derive", "name": "c_custkey", "expr": "o_custkey"},
-            {"op": "join", "table": "customer", "on": "c_custkey", "broadcast": True},
+            # customer is fact-scale at 100 TB: shuffle join, not
+            # broadcast (the spec's broadcast flag stays exercised by
+            # pipeline_declarative_demo's nation dim join).
+            {"op": "join", "table": "customer", "on": "c_custkey", "broadcast": False},
             {
                 "op": "derive",
                 "name": "rk",

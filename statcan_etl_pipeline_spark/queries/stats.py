@@ -191,9 +191,12 @@ FROM acc a, tot t
 def mwu_order_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # The two-segment filter keeps ~40% of customer — still fact-scale
+    # at 100 TB, so no broadcast hint (caught by the r9 registry-wide
+    # ReusedExchange-aware plan sweep); shuffle join on c_custkey.
     sel = (
         orders.join(
-            F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
             orders.o_custkey == cust.c_custkey,
         )
         .select(

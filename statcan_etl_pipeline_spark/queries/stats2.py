@@ -72,7 +72,8 @@ FROM mom
 def spearman_price_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    # orders x customer is fact x fact at 100 TB: shuffle join, no hint.
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         cents("o_totalprice").alias("x"), cents("c_acctbal").alias("y")
     )
 

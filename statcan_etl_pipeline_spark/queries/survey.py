@@ -558,7 +558,9 @@ def statcan_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> Da
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dec = "decimal(38,0)"
     rev = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # orders x customer is fact x fact at 100 TB: shuffle join, no
+        # hint; nation (25 rows) stays a broadcast dim.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

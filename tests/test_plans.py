@@ -19,7 +19,9 @@ def _broadcast_scan_tables(spark, name, sf_dir) -> set[str]:
     of it. An Aggregate node between the exchange and the scan resets
     the flag: broadcasting a groupBy(segment) cap table built FROM fact
     scans is the sanctioned pattern; broadcasting the fact table is
-    the 8-GB-limit violation."""
+    the 8-GB-limit violation. ReusedExchangeExec references are
+    resolved to the exchange they alias so an AQE-deduped broadcast
+    can't escape detection."""
     root = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
     found: set[str] = set()
 
@@ -30,6 +32,12 @@ def _broadcast_scan_tables(spark, name, sf_dir) -> set[str]:
             return
         if "QueryStageExec" in cls:
             walk(node.plan(), under_bcast)
+            return
+        if "ReusedExchange" in cls:
+            # ReusedExchangeExec(output, child=the referenced exchange):
+            # descend into the original so a deduped broadcast side is
+            # still walked with under_bcast=True.
+            walk(node.child(), under_bcast)
             return
         if "FileSourceScan" in cls and under_bcast:
             desc = node.toString()
@@ -637,6 +645,54 @@ def test_survey2_no_fact_side_broadcast(spark, sf_small, qname):
         assert not bcast & {"customer", "orders", "lineitem"}, bcast
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# Queries sanctioned to broadcast a bounded SUBSET of a fact-scale
+# table: the ANN/retrieval family broadcasts its query set, which is
+# `filter(vec_id < N_QUERIES)` — a constant row count (5-8 rows) at ANY
+# scale factor, bounded by construction rather than by an Aggregate
+# node (which is all the plan walker can see). Everything else must
+# never put a raw fact scan under a BroadcastExchange.
+_BOUNDED_QUERYSET_BCAST = {
+    "ann_ivf_cosine",
+    "ann_ivfpq_cosine",
+    "ann_lsh_cosine",
+    "ann_pq_cosine",
+    "ann_range_search",
+    "ann_sq_cosine",
+    "embedding_matryoshka_recall",
+    "hard_negative_mining",
+    "knn_bruteforce_cosine",
+    "knn_label_eval",
+}
+
+_FACT_TABLES = {"customer", "orders", "lineitem", "events", "documents", "embeddings"}
+
+
+def test_registry_wide_no_fact_scan_broadcast(spark, sf_small):
+    """EVERY registered query: no raw fact-table scan may sit under a
+    BroadcastExchange (customer/orders/lineitem/events/documents/
+    embeddings all grow linearly with scale — at 100 TB a raw-scan
+    broadcast exceeds Spark's 8 GB limit). Bounded aggregates built
+    FROM fact scans are allowed (the walker resets on Aggregate);
+    constant-size query subsets are allowlisted above. With the auto
+    threshold disabled, any surviving BroadcastExchange can only come
+    from an explicit hint — this sweep is what caught five stray
+    customer-side broadcasts in round 9 (analytics8/analytics6/etl/
+    stats2/survey) that the per-query tests had missed."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bad: dict[str, list[str]] = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in sorted(QUERIES):
+            if name in _BOUNDED_QUERYSET_BCAST:
+                continue
+            hits = _broadcast_scan_tables(spark, name, sf_small) & _FACT_TABLES
+            if hits:
+                bad[name] = sorted(hits)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not bad, f"raw fact scans broadcast un-aggregated: {bad}"
 
 
 def test_shingle_spectrum_bin_is_integer_derived(spark, sf_small):
