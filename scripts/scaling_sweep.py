@@ -79,11 +79,17 @@ def main() -> None:
     args = ap.parse_args()
     TESTDATA = args.testdata
     SFS = args.sfs.split(",")
-    sweep = {
-        k: v
-        for k, v in SWEEP.items()
-        if args.queries is None or k in args.queries.split(",")
-    }
+    if args.queries is not None:
+        requested = args.queries.split(",")
+        unknown = [q for q in requested if q not in SWEEP]
+        if unknown:
+            ap.error(
+                f"unknown --queries names: {unknown}; "
+                f"valid: {sorted(SWEEP)}"
+            )
+        sweep = {k: v for k, v in SWEEP.items() if k in requested}
+    else:
+        sweep = dict(SWEEP)
 
     from statcan_etl_pipeline_spark.session import get_spark
 
@@ -112,18 +118,24 @@ def main() -> None:
             print(f"  {name} @ {sf}: {results[name][sf]} s", file=sys.stderr)
 
     lo, hi = SFS[0], SFS[-1]
+    has_ratio = len(SFS) >= 2
     t_cols = " | ".join(f"t({sf})" for sf in SFS)
+    ratio_hdr = f" t ratio {SFS[-2]}→{hi} |" if has_ratio else ""
     lines = [
-        f"| query | family | driving rows {lo}→{hi} | {t_cols} | t ratio {SFS[-2]}→{hi} |",
-        "|---" * (4 + len(SFS)) + "|",
+        f"| query | family | driving rows {lo}→{hi} | {t_cols} |{ratio_hdr}",
+        "|---" * (3 + len(SFS) + int(has_ratio)) + "|",
     ]
     for name, (family, tab) in sweep.items():
         r = results[name]
-        ratio = r[hi] / r[SFS[-2]] if r[SFS[-2]] else float("nan")
         times = " | ".join(f"{r[sf]:.2f} s" for sf in SFS)
+        if has_ratio:
+            ratio = r[hi] / r[SFS[-2]] if r[SFS[-2]] else float("nan")
+            ratio_cell = f" **{ratio:.1f}×** |"
+        else:
+            ratio_cell = ""
         lines.append(
             f"| `{name}` | {family} | {rows[lo][tab]:,}→{rows[hi][tab]:,}"
-            f" | {times} | **{ratio:.1f}×** |"
+            f" | {times} |{ratio_cell}"
         )
     table = "\n".join(lines)
     print(table)

@@ -91,8 +91,16 @@ def profile(df: DataFrame) -> dict[str, int]:
 def streaming_state_metrics(query) -> dict[str, dict[str, int]]:
     """Per-operator state-store metrics from a StreamingQuery's progress
     history: {operatorName: {"rows": max numRowsTotal, "bytes": max
-    memoryUsedBytes, "rows_dropped_by_watermark": total across
-    batches}}.
+    memoryUsedBytes, "rows_dropped_by_watermark": total across the
+    RETAINED progress entries}}.
+
+    `recentProgress` is a bounded buffer (default ~100 entries,
+    spark.sql.streaming.numRecentProgressUpdates), so on a stream with
+    more batches than the buffer holds the summed drop counter covers
+    only the retained window, not the stream's lifetime total. For true
+    lifetime totals attach a StreamingQueryListener and accumulate per
+    onQueryProgress event; the tests here run bounded availableNow
+    streams where the buffer never overflows.
 
     State growth is the streaming twin of shuffle growth: an unbounded
     state store is the thing that kills a 100 TB stream weeks after it
