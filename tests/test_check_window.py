@@ -1,0 +1,51 @@
+"""Contract pins for scripts/check_window.py — the driver-window
+invariant tooling (SURVEY §5 item 9). No Spark needed."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import check_window  # noqa: E402
+
+
+def test_hashes_cover_every_registered_query():
+    cur, mod_files, mod_queries = check_window._current_hashes()
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    assert set(cur) == set(QUERIES)
+    # every query maps to a hashed module file
+    assert set().union(*mod_queries.values()) == set(QUERIES)
+    assert all(len(h) == 32 for h in cur.values())
+
+
+def test_window_is_first_fifty_unique_registered():
+    win = check_window._window()
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    assert len(win) == 50
+    assert len(set(win)) == 50
+    assert all(name in QUERIES for name in win)
+
+
+def test_manifest_schema_and_clean_tree_passes():
+    """The committed manifest has the {queries, modules} shape, and
+    running the checker in the current tree exits 0 or 1 (never the
+    no-manifest exit 2) — if this tree has query edits the checker
+    must say they're in the window (exit 0) for the round to be
+    shippable, so assert exit 0."""
+    with open(check_window.MANIFEST) as f:
+        snap = json.load(f)
+    assert "queries" in snap or all(len(v) == 32 for v in snap.values())
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "check_window.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
