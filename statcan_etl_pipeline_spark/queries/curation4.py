@@ -344,10 +344,18 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # calibration. Every signal is an exact INTEGER sort key (length;
 # type-token ratio and mean word length in micro units via integer
 # division), ranks come from row_number with doc_id tie-break, and the
-# RRF score Σ 10⁹ div (60 + rank) stays an exact integer. Scale note:
-# row_number here is a global ranking — at 100 TB replace with a
-# two-phase range-partitioned rank (compute per-partition counts,
-# prefix-sum offsets), same downstream algebra.
+# RRF score Σ 10⁹ div (60 + rank) stays an exact integer.
+#
+# Scale (r9): each global rank is a TWO-PASS range-banded rank, not a
+# single-partition window — 256 equal-width integer bands off a 1-row
+# broadcast min/max aggregate (band monotone DESC in the metric, so
+# equal values share a band), row_number within band (bounded
+# partitions), plus an exclusive prefix-sum offset over the ≤256-row
+# band census (broadcast back). Exact same ranks as the global sort —
+# the r9 registry-wide plan audit found this query was the only one
+# still single-partitioning a raw fact scan under a window. The DuckDB
+# oracle keeps the plain row_number formulation: single-node, and
+# mathematically identical.
 # ---------------------------------------------------------------------------
 @query(
     "doc_rrf_quality_fusion",
@@ -397,12 +405,39 @@ def doc_rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_dist * 1000000) div n_toks").alias("ttr_micro"),
         F.expr("((n_chars - n_toks + 1) * 1000000) div n_toks").alias("mwl_micro"),
     )
-    ranked = keys.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.desc("n_chars"), "doc_id")).alias("r1"),
-        F.row_number().over(W.orderBy(F.desc("ttr_micro"), "doc_id")).alias("r2"),
-        F.row_number().over(W.orderBy(F.desc("mwl_micro"), "doc_id")).alias("r3"),
+    metrics = [("n_chars", "r1"), ("ttr_micro", "r2"), ("mwl_micro", "r3")]
+    bounds = keys.agg(
+        *[
+            a
+            for m, _ in metrics
+            for a in (F.min(m).alias(f"mn_{m}"), F.max(m).alias(f"mx_{m}"))
+        ]
     )
+    # band index monotone DESC in the metric: equal values share a band,
+    # higher values get a lower band — so (band offset + in-band
+    # row_number) reproduces the exact global DESC rank.
+    banded = keys.crossJoin(F.broadcast(bounds))
+    for m, _ in metrics:
+        banded = banded.withColumn(
+            f"band_{m}",
+            F.expr(f"((mx_{m} - {m}) * 256) div (mx_{m} - mn_{m} + 1)").cast("int"),
+        )
+    ranked = banded
+    for m, r in metrics:
+        band = f"band_{m}"
+        counts = ranked.groupBy(band).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # exclusive prefix over the <=256-row band census — bounded
+        woff = W.orderBy(band).rowsBetween(W.unboundedPreceding, -1)
+        offsets = counts.select(
+            band,
+            F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long").alias("off"),
+        )
+        win = W.partitionBy(band).orderBy(F.desc(m), "doc_id")
+        ranked = (
+            ranked.join(F.broadcast(offsets), band)
+            .withColumn(r, (F.col("off") + F.row_number().over(win)).cast("int"))
+            .drop("off")
+        )
     return (
         ranked.select(
             "doc_id",

@@ -695,6 +695,78 @@ def test_registry_wide_no_fact_scan_broadcast(spark, sf_small):
     assert not bad, f"raw fact scans broadcast un-aggregated: {bad}"
 
 
+def _unpartitioned_window_fact_scans(spark, name, sf_dir) -> set[str]:
+    """Fact tables whose RAW scans feed a WindowExec with an EMPTY
+    partitionSpec (i.e. the whole input is sorted into one partition)
+    with no Aggregate/Limit between the window and the scan. A global
+    window over a bounded aggregate (band census, 25-nation fold) is
+    sanctioned; a global window over the raw fact table is the
+    single-partition sort that dies at 100 TB."""
+    root = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
+    found: set[str] = set()
+
+    def walk(node, under_gwin: bool) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), under_gwin)
+            return
+        if "QueryStageExec" in cls:
+            walk(node.plan(), under_gwin)
+            return
+        if "ReusedExchange" in cls:
+            walk(node.child(), under_gwin)
+            return
+        if "FileSourceScan" in cls and under_gwin:
+            desc = node.toString()
+            for t in _TABLES:
+                if f"{t}.parquet" in desc:
+                    found.add(t)
+        under = under_gwin
+        if cls in ("WindowExec", "WindowGroupLimitExec") and node.partitionSpec().isEmpty():
+            under = True
+        if "Aggregate" in cls or "Limit" in cls or "TakeOrdered" in cls:
+            under = False
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i), under)
+
+    walk(root, False)
+    return found
+
+
+def test_registry_wide_no_cartesian_no_row_udf(spark, sf_small):
+    """EVERY registered query, executed-plan audit: no CartesianProduct
+    node anywhere (the bucketed/banded joins must hold registry-wide,
+    not just in the per-query pins) and no BatchEvalPython node (row-
+    at-a-time Python UDF — the 10-100x-slower path; Arrow exec nodes
+    like ArrowEvalPython/MapInArrow/FlatMapGroupsInPandas are the
+    sanctioned Python surfaces and are not flagged)."""
+    bad: dict[str, list[str]] = {}
+    for name in sorted(QUERIES):
+        ps = _plan(spark, name, sf_small)
+        flags = []
+        if "CartesianProduct" in ps:
+            flags.append("cartesian")
+        if "BatchEvalPython" in ps:
+            flags.append("row_udf")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"anti-pattern nodes in executed plans: {bad}"
+
+
+def test_registry_wide_no_single_partition_fact_window(spark, sf_small):
+    """EVERY registered query: no unpartitioned window may consume a
+    raw fact scan (this sweep found doc_rrf_quality_fusion's three
+    global row_number ranks in r9; they are now two-pass range-banded
+    ranks). Windows over bounded aggregates reset the flag."""
+    bad: dict[str, list[str]] = {}
+    for name in sorted(QUERIES):
+        hits = _unpartitioned_window_fact_scans(spark, name, sf_small) & _FACT_TABLES
+        if hits:
+            bad[name] = sorted(hits)
+    assert not bad, f"single-partition window over raw fact scans: {bad}"
+
+
 def test_shingle_spectrum_bin_is_integer_derived(spark, sf_small):
     """shingle_df_spectrum's power-of-2 bin must come from integer bit
     length (length(bin(df)) - 1), never floor(log2(df)) — Spark's LOG2
