@@ -734,13 +734,19 @@ def _unpartitioned_window_fact_scans(spark, name, sf_dir) -> set[str]:
     return found
 
 
-def test_registry_wide_no_cartesian_no_row_udf(spark, sf_small):
-    """EVERY registered query, executed-plan audit: no CartesianProduct
-    node anywhere (the bucketed/banded joins must hold registry-wide,
-    not just in the per-query pins) and no BatchEvalPython node (row-
-    at-a-time Python UDF — the 10-100x-slower path; Arrow exec nodes
-    like ArrowEvalPython/MapInArrow/FlatMapGroupsInPandas are the
-    sanctioned Python surfaces and are not flagged)."""
+def test_registry_wide_plan_audit(spark, sf_small):
+    """EVERY registered query, one executed-plan pass, three rules:
+    (1) no CartesianProduct node anywhere — the bucketed/banded joins
+    must hold registry-wide, not just in the per-query pins; (2) no
+    BatchEvalPython node — row-at-a-time Python UDF, the 10-100x-slower
+    path (Arrow exec nodes like ArrowEvalPython/MapInArrow/
+    FlatMapGroupsInPandas are the sanctioned Python surfaces and are
+    not flagged); (3) no unpartitioned window consuming a raw fact scan
+    — the single-partition sort that dies at 100 TB (this sweep found
+    doc_rrf_quality_fusion's three global row_number ranks in r9; they
+    are now two-pass range-banded ranks; windows over bounded
+    aggregates reset the flag). One plan build per query keeps the
+    audit to one pass over the registry."""
     bad: dict[str, list[str]] = {}
     for name in sorted(QUERIES):
         ps = _plan(spark, name, sf_small)
@@ -749,22 +755,18 @@ def test_registry_wide_no_cartesian_no_row_udf(spark, sf_small):
             flags.append("cartesian")
         if "BatchEvalPython" in ps:
             flags.append("row_udf")
+        # cheap pre-filter: the JVM walk only runs when the string scan
+        # shows both a window and a single-partition exchange
+        if "Window" in ps and "SinglePartition" in ps:
+            hits = (
+                _unpartitioned_window_fact_scans(spark, name, sf_small)
+                & _FACT_TABLES
+            )
+            if hits:
+                flags.append("singlepart_fact_window:" + ",".join(sorted(hits)))
         if flags:
             bad[name] = flags
-    assert not bad, f"anti-pattern nodes in executed plans: {bad}"
-
-
-def test_registry_wide_no_single_partition_fact_window(spark, sf_small):
-    """EVERY registered query: no unpartitioned window may consume a
-    raw fact scan (this sweep found doc_rrf_quality_fusion's three
-    global row_number ranks in r9; they are now two-pass range-banded
-    ranks). Windows over bounded aggregates reset the flag."""
-    bad: dict[str, list[str]] = {}
-    for name in sorted(QUERIES):
-        hits = _unpartitioned_window_fact_scans(spark, name, sf_small) & _FACT_TABLES
-        if hits:
-            bad[name] = sorted(hits)
-    assert not bad, f"single-partition window over raw fact scans: {bad}"
+    assert not bad, f"executed-plan audit violations: {bad}"
 
 
 def test_shingle_spectrum_bin_is_integer_derived(spark, sf_small):
