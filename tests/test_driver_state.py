@@ -1,0 +1,58 @@
+"""Static allowlist pin on driver-side materialization in the engine.
+
+`.collect()` / `.toPandas()` inside an operator means that path is not
+distributed — every occurrence must be a documented bounded-driver-state
+iterative op (k-means centroids k=4, PCA d=64 loading vector, MMR's
+O(k) winner ids, the metrics profiler's own action). This test freezes
+that set: a new collect anywhere in the package fails the suite until
+it is either rewritten distributed or explicitly added here with a
+boundedness argument.
+"""
+
+from __future__ import annotations
+
+import os
+
+import statcan_etl_pipeline_spark as pkg
+
+# file (relative to package root) -> max allowed occurrences of
+# ".collect()" + ".toPandas()" combined, with the boundedness reason.
+_ALLOWED = {
+    # k-means: k=4 centroids per iteration; seed medoid ids — O(k*dim)
+    "queries/embeddings.py": (2, "k-means centroid state, O(k*dim)"),
+    # PCA: one d=64 loading vector per power iteration — O(d)
+    "queries/pca.py": (2, "power-iteration vector state, O(d)"),
+    # MMR: k winner ids, one per greedy step — O(k)
+    "queries/retrieval.py": (2, "MMR winner ids, O(k)"),
+    # the exec-metrics profiler triggers the caller's action itself
+    "plans/metrics.py": (1, "metrics profiler's own action"),
+}
+
+
+def test_driver_side_materialization_allowlist():
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    found: dict[str, int] = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for fn in filenames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path, encoding="utf-8") as f:
+                src = f.read()
+            n = src.count(".collect()") + src.count(".toPandas()")
+            if n:
+                found[rel] = n
+    unexpected = {
+        rel: n for rel, n in found.items()
+        if rel not in _ALLOWED or n > _ALLOWED[rel][0]
+    }
+    assert not unexpected, (
+        f"undocumented driver-side materialization: {unexpected}; "
+        "rewrite distributed or extend the allowlist with a boundedness "
+        "argument"
+    )
+    # the allowlist may not silently rot either
+    stale = {rel for rel in _ALLOWED if rel not in found}
+    assert not stale, f"allowlist entries no longer present: {stale}"
