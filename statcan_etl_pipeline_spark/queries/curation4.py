@@ -405,39 +405,16 @@ def doc_rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_dist * 1000000) div n_toks").alias("ttr_micro"),
         F.expr("((n_chars - n_toks + 1) * 1000000) div n_toks").alias("mwl_micro"),
     )
-    metrics = [("n_chars", "r1"), ("ttr_micro", "r2"), ("mwl_micro", "r3")]
-    bounds = keys.agg(
-        *[
-            a
-            for m, _ in metrics
-            for a in (F.min(m).alias(f"mn_{m}"), F.max(m).alias(f"mx_{m}"))
-        ]
+    from ..operators.ranks import two_pass_desc_ranks
+
+    # exact global DESC ranks via the two-pass range-banded operator
+    # (operators/ranks.py) — equal ranks to a global sort, every
+    # window bounded; equivalence property-pinned in tests.
+    ranked = two_pass_desc_ranks(
+        keys,
+        [("n_chars", "r1"), ("ttr_micro", "r2"), ("mwl_micro", "r3")],
+        tie_col="doc_id",
     )
-    # band index monotone DESC in the metric: equal values share a band,
-    # higher values get a lower band — so (band offset + in-band
-    # row_number) reproduces the exact global DESC rank.
-    banded = keys.crossJoin(F.broadcast(bounds))
-    for m, _ in metrics:
-        banded = banded.withColumn(
-            f"band_{m}",
-            F.expr(f"((mx_{m} - {m}) * 256) div (mx_{m} - mn_{m} + 1)").cast("int"),
-        )
-    ranked = banded
-    for m, r in metrics:
-        band = f"band_{m}"
-        counts = ranked.groupBy(band).agg(F.count(F.lit(1)).cast("long").alias("n"))
-        # exclusive prefix over the <=256-row band census — bounded
-        woff = W.orderBy(band).rowsBetween(W.unboundedPreceding, -1)
-        offsets = counts.select(
-            band,
-            F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long").alias("off"),
-        )
-        win = W.partitionBy(band).orderBy(F.desc(m), "doc_id")
-        ranked = (
-            ranked.join(F.broadcast(offsets), band)
-            .withColumn(r, (F.col("off") + F.row_number().over(win)).cast("int"))
-            .drop("off")
-        )
     return (
         ranked.select(
             "doc_id",

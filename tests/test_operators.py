@@ -575,3 +575,36 @@ def test_sniff_media_kind_magic_bytes(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_two_pass_desc_ranks_equals_global_sort(spark):
+    """two_pass_desc_ranks == plain global-window row_number on
+    adversarial distributions: duplicates everywhere, all-equal metric
+    (single degenerate band), single row, negative values, values
+    straddling band boundaries, and a range smaller than n_bands."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.operators.ranks import two_pass_desc_ranks
+
+    import random
+
+    rng = random.Random(42)
+    cases = {
+        "dups": [(i, rng.randint(-50, 50)) for i in range(500)],
+        "all_equal": [(i, 7) for i in range(100)],
+        "single": [(0, 123)],
+        "negatives": [(i, -rng.randint(0, 10**9)) for i in range(200)],
+        "narrow_range": [(i, rng.randint(0, 3)) for i in range(300)],
+        "wide_sparse": [(i, rng.choice([-(10**12), 0, 10**12])) for i in range(100)],
+    }
+    for label, rows in cases.items():
+        df = spark.createDataFrame(rows, "id long, m long")
+        fast = two_pass_desc_ranks(df, [("m", "r")], tie_col="id")
+        slow = df.withColumn(
+            "r_ref",
+            F.row_number().over(W.orderBy(F.desc("m"), F.asc("id"))).cast("int"),
+        )
+        joined = fast.join(slow.select("id", "r_ref"), "id")
+        bad = joined.filter(F.col("r") != F.col("r_ref")).count()
+        assert bad == 0, f"case {label}: {bad} rank mismatches"
