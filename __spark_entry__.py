@@ -80,7 +80,7 @@ _CHECK_FIRST = [
     "statcan_allocation_largest_remainder",  # r9-modified: bcast dropped
     "pipeline_topk_per_segment",  # r9-modified: spec broadcast=False
     "mwu_order_value_segments",  # r9-modified: customer broadcast dropped
-    "graph_pagerank",  # graph.py touched r8 (LPA exchange budget)
+    "events_markov_stationary",  # r9-modified: bounded-matrix driver fold
     "q1_pricing_summary",  # bench headliner re-verify
     "q3_top_unshipped",  # bench headliner re-verify
     "q5_local_supplier_volume",  # bench headliner re-verify

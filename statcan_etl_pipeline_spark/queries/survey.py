@@ -272,9 +272,28 @@ ORDER BY event_type"""
 
 @query("events_markov_stationary", oracle=_markov_oracle())
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration stationary distribution of the event-type
+    transition chain.
+
+    Scale (r9): the 8 iterations only ever touch the k×k transition
+    matrix (k = |event types|, 5 here) — NOT the event stream — so the
+    matrix and row sums are collected once as bounded driver state
+    (O(k²) rows, the k-means-centroids class, allowlisted in
+    tests/test_driver_state.py) and the recursion runs in the driver
+    with the exact same double/floor arithmetic as the SQL oracle
+    (IEEE doubles, identical op order → bit-identical). The previous
+    formulation chained 8 lazy joins against the UN-persisted matrix
+    lineage, so the executed plan re-scanned and re-window-sorted the
+    whole events table once per iteration (~16 redundant fact scans at
+    100 TB). Now: exactly ONE events scan, and the returned plan is a
+    k-row literal."""
+    import math
+
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"), F.lag("event_type").over(wseq).alias("prev")
@@ -282,39 +301,41 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = seq.groupBy(F.col("prev").alias("i"), F.col("cur").alias("j")).agg(
         F.count(F.lit(1)).cast("long").alias("c_ij")
     )
-    rowsum = mat.groupBy("i").agg(F.sum("c_ij").cast("long").alias("c_i"))
-    types = ev.select(F.col("event_type").alias("t")).distinct()
-    kk = types.agg(F.count(F.lit(1)).cast("long").alias("kk"))
-    pi = types.crossJoin(F.broadcast(kk)).select(
-        "t",
-        F.floor(F.lit(1e9) / F.col("kk").cast("double")).cast("long").alias("p"),
+    # one action, one events scan: k x k matrix + the distinct type set
+    # (a type can occur only as a user's first event and be absent from
+    # the matrix entirely, so types needs its own distinct)
+    rows = (
+        mat.select("i", "j", "c_ij")
+        .unionByName(
+            ev.select(
+                F.col("event_type").alias("i"),
+                F.lit(None).cast("string").alias("j"),
+                F.lit(None).cast("long").alias("c_ij"),
+            ).distinct()
+        )
+        .collect()
     )
-    mat_r = mat.join(F.broadcast(rowsum), "i")
+    cij = {(r["i"], r["j"]): r["c_ij"] for r in rows if r["j"] is not None}
+    types = sorted({r["i"] for r in rows if r["j"] is None})
+    c_i: dict[str, int] = {}
+    for (i, _j), c in cij.items():
+        c_i[i] = c_i.get(i, 0) + c
+    kk = len(types)
+    pi = {t: int(math.floor(1000000000.0 / float(kk))) for t in types}
     for _ in range(8):
-        term = F.floor(
-            F.col("p").cast("double")
-            * F.col("c_ij").cast("double")
-            / F.col("c_i").cast("double")
-            + F.lit(0.5)
-        ).cast("long")
-        agg = (
-            pi.join(F.broadcast(mat_r), pi.t == mat_r.i)
-            .select(F.col("j").alias("t2"), term.alias("term"))
-            .groupBy("t2")
-            .agg(F.sum("term").cast("long").alias("p2"))
-        )
-        pi = types.join(F.broadcast(agg), types.t == F.col("t2"), "left").select(
-            "t", F.coalesce(F.col("p2"), F.lit(0)).cast("long").alias("p")
-        )
-    return (
-        pi.join(F.broadcast(rowsum), pi.t == rowsum.i, "left")
-        .select(
-            F.col("t").alias("event_type"),
-            F.coalesce(F.col("c_i"), F.lit(0)).cast("long").alias("n_outgoing"),
-            pround(F.col("p").cast("double") / F.lit(1e9), 6).alias("pi8"),
-        )
-        .orderBy("event_type")
+        nxt = {t: 0 for t in types}
+        for (i, j), c in cij.items():
+            nxt[j] += int(math.floor(float(pi[i]) * float(c) / float(c_i[i]) + 0.5))
+        pi = nxt
+    out = spark.createDataFrame(
+        [(t, c_i.get(t, 0), pi[t]) for t in types],
+        "event_type string, n_outgoing long, p long",
     )
+    return out.select(
+        "event_type",
+        "n_outgoing",
+        pround(F.col("p").cast("double") / F.lit(1e9), 6).alias("pi8"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

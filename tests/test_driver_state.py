@@ -26,6 +26,10 @@ _ALLOWED = {
     "queries/retrieval.py": (2, "MMR winner ids, O(k)"),
     # the exec-metrics profiler triggers the caller's action itself
     "plans/metrics.py": (1, "metrics profiler's own action"),
+    # markov power iteration: k x k transition matrix + type set,
+    # k = |event types| — O(k^2) rows collected once so the 8
+    # iterations never re-scan the event stream (r9)
+    "queries/survey.py": (1, "k x k transition matrix, O(k^2)"),
 }
 
 
