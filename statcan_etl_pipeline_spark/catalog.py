@@ -9,6 +9,7 @@ filters into the parquet reader.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,9 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Dynamic SQLConf: sessions built outside get_spark (the driver's
     # harness) would otherwise infer NTZ on Spark 4.x and crash every
     # event-time operator. Set before the (eager) schema inference.
+    # Only AnalysisException (the conf is non-modifiable on this
+    # session) is tolerated — anything else is real misconfiguration
+    # and must surface (r10, VERDICT r9 item 7).
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    except Exception:
+    except AnalysisException:
         pass
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the
@@ -64,7 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncation natively.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
+        except AnalysisException:
             pass
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":

@@ -5,6 +5,7 @@ from .dedup import (
     band_keys,
     exploded_shingles,
     jaccard_pairs,
+    lsh_bucket_census,
     lsh_candidate_pairs,
     minhash_signature,
     minhash_signature_arrays,
@@ -54,6 +55,7 @@ __all__ = [
     "fake_frame_sample",
     "fake_resize",
     "jaccard_pairs",
+    "lsh_bucket_census",
     "lsh_candidate_pairs",
     "minhash_signature",
     "minhash_signature_arrays",

@@ -105,10 +105,40 @@ def band_keys(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+    signatures: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing at least one LSH band."""
+    """Distinct (doc_a, doc_b) sharing at least one LSH band.
+
+    BAND-BUCKET CAP (`max_bucket_size`, off by default): the self-join
+    emits C(n, 2) pairs per (band, key) bucket, so bucket density — not
+    row count — is what the banded join's cost tracks. On a corpus
+    whose true near-dup density is quadratic (measured at sf1 on the
+    fixed-vocabulary synthetic corpus: Σ C(n, 2) grew 92.7× for 10×
+    docs, with the 74 buckets above 64 docs carrying 79% of all 1.27M
+    candidate pairs), buckets above the cap are excluded from PAIR
+    GENERATION, bounding per-bucket fan-out at C(cap, 2). A giant
+    bucket means either a giant duplicate cluster (for which pairwise
+    enumeration is the wrong output shape — census it and treat it as
+    one cluster) or band-collision flooding; either way its pairs are
+    the quadratic term. NO SILENT CAP: callers must surface the skipped
+    mass via `lsh_bucket_census`, which reports exactly which bucket
+    sizes were dropped and how many pairs that skipped. The hot set is
+    tiny by construction (≤ total_rows/cap buckets can exceed the cap),
+    so exclusion is a broadcast anti-join; the bucket-size count
+    shuffles on the same (band, key) the join itself uses, so AQE
+    reuses the exchange rather than re-scanning."""
     banded = band_keys(signatures, n_hashes, band_rows)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -120,6 +150,45 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_census(
+    signatures: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Census of banded-LSH bucket sizes — the companion report that
+    makes `max_bucket_size` a DOCUMENTED cap rather than a silent one.
+
+    One row per distinct bucket size: how many (band, key) buckets have
+    that size, the candidate pairs they would generate (n_buckets ·
+    C(size, 2)), and — when a cap is given — whether pair generation
+    skips them (`capped`). Sum of candidate_pairs where capped=1 is
+    exactly the pair mass `lsh_candidate_pairs` drops (pre-dedup across
+    bands). O(distinct sizes) output rows; one shuffle on (band, key)
+    plus one on the tiny size column."""
+    banded = band_keys(signatures, n_hashes, band_rows)
+    sizes = banded.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_size")
+    )
+    out = sizes.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    pairs = (
+        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2 * F.col("n_buckets")
+    ).cast("long")
+    capped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else (F.col("bucket_size") > max_bucket_size)
+    )
+    return out.select(
+        "bucket_size",
+        "n_buckets",
+        pairs.alias("candidate_pairs"),
+        capped.cast("int").alias("capped"),
     )
 
 

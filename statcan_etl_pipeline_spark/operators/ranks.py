@@ -33,11 +33,17 @@ def two_pass_desc_ranks(
     """Add one exact global DESC-rank column per (metric_col, out_col)
     in `metrics`, tie-broken ascending on `tie_col`. All metric columns
     must be integral (the banding arithmetic is exact integer math so a
-    DuckDB oracle can mirror it when needed), with value range below
-    ~int64_max / n_bands (≈3.6e16 at 256 bands) so (mx - m) * n_bands
-    cannot overflow. Empty input yields empty output; a constant metric
-    degenerates to a single band (correct, but as unbounded as the data
-    is skewed — the caller picks metrics with spread)."""
+    DuckDB oracle can mirror it when needed); the band expression casts
+    to BIGINT internally, so any integral width is safe as long as the
+    metric's value RANGE (max - min) stays below ~int64_max / n_bands
+    (≈3.6e16 at 256 bands) — an IntegerType metric can never overflow.
+    NULL metrics are routed to a sentinel band past the last real one
+    and so rank LAST (tie-broken ascending), bit-identical to the
+    global `row_number() over (order by m desc, tie asc)` reference,
+    whose `desc` is nulls-last. Empty input yields empty output; a
+    constant metric degenerates to a single band (correct, but as
+    unbounded as the data is skewed — the caller picks metrics with
+    spread)."""
     bounds = df.agg(
         *[
             a
@@ -47,10 +53,19 @@ def two_pass_desc_ranks(
     )
     out = df.crossJoin(F.broadcast(bounds))
     for m, _ in metrics:
+        # coalesce: the band expr is NULL exactly when the metric is
+        # NULL (min/max ignore nulls, so mx/mn are non-null whenever
+        # any metric value exists; all-null degenerates to one
+        # sentinel band) — nulls land past band n_bands - 1 and the
+        # in-band tie order alone ranks them, matching desc-nulls-last
         out = out.withColumn(
             f"band_{m}",
-            F.expr(f"((mx_{m} - {m}) * {n_bands}) div (mx_{m} - mn_{m} + 1)").cast(
-                "int"
+            F.coalesce(
+                F.expr(
+                    f"((cast(mx_{m} as bigint) - cast({m} as bigint)) * {n_bands})"
+                    f" div (cast(mx_{m} as bigint) - cast(mn_{m} as bigint) + 1)"
+                ).cast("int"),
+                F.lit(n_bands),
             ),
         )
     for m, r in metrics:

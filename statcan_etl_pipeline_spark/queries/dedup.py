@@ -114,10 +114,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH candidate pairs (char 5-gram shingles)
 # ---------------------------------------------------------------------------
-def _mh_pairs_ctes() -> str:
+def _mh_pairs_ctes(max_bucket_size: int | None = None) -> str:
     """CTE chain `base, sh, sig, bands, pairs` reproducing the banded
     MinHash-LSH candidate pairs — shared by the pairs oracle and the
-    connected-groups recursive oracle."""
+    connected-groups recursive oracle. With `max_bucket_size`, mirrors
+    the operator's band-bucket cap: (band, key) buckets holding more
+    docs than the cap are excluded from pair generation."""
     from ..operators.dedup import _mh_expr
 
     mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(N_HASHES))
@@ -128,6 +130,19 @@ def _mh_pairs_ctes() -> str:
         + ") AS key FROM sig"
         for b in range(n_bands)
     )
+    if max_bucket_size is None:
+        pair_src = "bands"
+        cap_ctes = ""
+    else:
+        pair_src = "kept"
+        cap_ctes = f"""), cold AS (
+  -- band-bucket cap mirrored from operators/dedup.py:lsh_candidate_pairs
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {max_bucket_size}
+), kept AS (
+  SELECT b.doc_id, b.band, b.key
+  FROM bands b JOIN cold c ON b.band = c.band AND b.key = c.key
+"""
     return f"""base AS (
   SELECT doc_id, {_NORM_SQL} AS norm FROM documents
 ), sh AS (
@@ -136,15 +151,27 @@ def _mh_pairs_ctes() -> str:
   SELECT doc_id, {mh} FROM sh GROUP BY doc_id
 ), bands AS (
   {band_selects}
-), pairs AS (
+{cap_ctes}), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  FROM {pair_src} a JOIN {pair_src} b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )"""
+
+
+# Band buckets above this size are excluded from pair generation
+# (r10): at sf1 the 74 buckets over 64 docs carried 79% of all 1.27M
+# candidate pairs (SCALING.md) — the quadratic term on a corpus with
+# saturating shingle space. C(64,2)=2016 bounds per-bucket fan-out. At
+# sf0.01 (the oracle gate) and sf0.001 no bucket reaches the cap, so
+# small-SF results are unchanged; the oracle mirrors the cap exactly so
+# parity holds at every SF regardless. Skipped mass is NOT silent:
+# lsh_bucket_census reports it (pinned in tests/test_operators.py and
+# recorded per-SF in SCALING.md).
+LSH_BUCKET_CAP = 64
 
 
 def _mh_sql() -> str:
     return f"""
-WITH {_mh_pairs_ctes()}
+WITH {_mh_pairs_ctes(max_bucket_size=LSH_BUCKET_CAP)}
 SELECT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """
@@ -161,7 +188,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "shuffle-free" array formulation (see minhash_signature_arrays)
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
-    return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
+    return lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS, LSH_BUCKET_CAP)
 
 
 # ---------------------------------------------------------------------------

@@ -215,11 +215,13 @@ def survey_raking_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-step Markov-chain distribution over the event-type transition
 # matrix (lag-pairs per user), started uniform. Masses are nano-unit
 # integers re-quantized after every π·P step (per-term
-# floor(π_i·c_ij/c_i + 0.5) from exact integer inputs), so each step
-# is a join + exact integer aggregation over the bounded K×K matrix —
-# no driver loop, one lazy plan, engine-exact. Types with no incoming
-# transitions keep an explicit zero row (left join onto the type
-# list), so mass bookkeeping is identical in both engines.
+# floor(π_i·c_ij/c_i + 0.5) from exact integer inputs) — identical
+# arithmetic in both engines. The ORACLE below unrolls the 8 steps as
+# chained CTEs; the SPARK side (r9 design, see the query docstring)
+# does ONE events scan, collects the k×k matrix as bounded driver
+# state (k ≤ MARKOV_MAX_K enforced below), and runs the iterations in
+# the driver. Types with no incoming transitions keep an explicit zero
+# row (left join onto the type list), so mass bookkeeping matches.
 # ---------------------------------------------------------------------------
 
 
@@ -270,32 +272,24 @@ ORDER BY event_type"""
     return "".join(parts)
 
 
-@query("events_markov_stationary", oracle=_markov_oracle())
-def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Power-iteration stationary distribution of the event-type
-    transition chain.
+# Structural bound on the collected transition matrix (r10, VERDICT r9
+# item 5): the O(k²) driver-state argument in tests/test_driver_state.py
+# must be ENFORCED at runtime, not assumed from the test corpus (k=5
+# here, but event_type cardinality is data-dependent). The collect is
+# LIMIT-ed to k_max² + k_max + 1 rows, so a high-cardinality type
+# column can never transfer more than ~4 KB to the driver — it raises
+# instead of OOM-ing.
+MARKOV_MAX_K = 64
 
-    Scale (r9): the 8 iterations only ever touch the k×k transition
-    matrix (k = |event types|, 5 here) — NOT the event stream — so the
-    matrix and row sums are collected once as bounded driver state
-    (O(k²) rows, the k-means-centroids class, allowlisted in
-    tests/test_driver_state.py) and the recursion runs in the driver
-    with the exact same double/floor arithmetic as the SQL oracle
-    (IEEE doubles, identical op order → bit-identical). The previous
-    formulation chained 8 lazy joins against the UN-persisted matrix
-    lineage: the STATIC plan nested ~17 events scans; at runtime AQE
-    exchange reuse collapsed that to a measured 3 fact scans,
-    16 exchanges and 11 broadcasts (10.8 s action at sf0.001) — still
-    8 rounds of tiny jobs whose scheduling dominates. Now: one events
-    scan, zero iteration jobs, and the returned plan is a k-row
-    literal (measured ~5× faster end-to-end)."""
+
+def _markov_stationary_from(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of events_markov_stationary over any (user_id, ts,
+    event_id, event_type) frame — split out so the k-cardinality guard
+    is unit-testable on synthetic high-cardinality inputs."""
     import math
 
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
     wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"), F.lag("event_type").over(wseq).alias("prev")
@@ -305,7 +299,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one action, one events scan: k x k matrix + the distinct type set
     # (a type can occur only as a user's first event and be absent from
-    # the matrix entirely, so types needs its own distinct)
+    # the matrix entirely, so types needs its own distinct). The limit
+    # bounds the driver transfer BEFORE the bound is checked.
+    max_rows = MARKOV_MAX_K * MARKOV_MAX_K + MARKOV_MAX_K
     rows = (
         mat.select("i", "j", "c_ij")
         .unionByName(
@@ -315,10 +311,23 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("long").alias("c_ij"),
             ).distinct()
         )
+        .limit(max_rows + 1)
         .collect()
     )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"events_markov_stationary: transition matrix exceeds the "
+            f"k<={MARKOV_MAX_K} driver-state bound (collect truncated at "
+            f"{max_rows + 1} rows) — the O(k^2) driver fold is not safe "
+            f"for this event_type cardinality; pre-bucket the type column"
+        )
     cij = {(r["i"], r["j"]): r["c_ij"] for r in rows if r["j"] is not None}
     types = sorted({r["i"] for r in rows if r["j"] is None})
+    if len(types) > MARKOV_MAX_K:
+        raise ValueError(
+            f"events_markov_stationary: {len(types)} event types exceed "
+            f"the k<={MARKOV_MAX_K} driver-state bound"
+        )
     c_i: dict[str, int] = {}
     for (i, _j), c in cij.items():
         c_i[i] = c_i.get(i, 0) + c
@@ -338,6 +347,32 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outgoing",
         pround(F.col("p").cast("double") / F.lit(1e9), 6).alias("pi8"),
     ).orderBy("event_type")
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration stationary distribution of the event-type
+    transition chain.
+
+    Scale (r9): the 8 iterations only ever touch the k×k transition
+    matrix (k = |event types|, 5 here) — NOT the event stream — so the
+    matrix and row sums are collected once as bounded driver state
+    (O(k²) rows, the k-means-centroids class, allowlisted in
+    tests/test_driver_state.py) and the recursion runs in the driver
+    with the exact same double/floor arithmetic as the SQL oracle
+    (IEEE doubles, identical op order → bit-identical). The previous
+    formulation chained 8 lazy joins against the UN-persisted matrix
+    lineage: the STATIC plan nested ~17 events scans; at runtime AQE
+    exchange reuse collapsed that to a measured 3 fact scans,
+    16 exchanges and 11 broadcasts (10.8 s action at sf0.001) — still
+    8 rounds of tiny jobs whose scheduling dominates. Now: one events
+    scan, zero iteration jobs, and the returned plan is a k-row
+    literal (measured ~5× faster end-to-end). r10: the k bound is
+    enforced structurally — see MARKOV_MAX_K above."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return _markov_stationary_from(spark, ev)
 
 
 # ---------------------------------------------------------------------------

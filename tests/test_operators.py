@@ -106,6 +106,56 @@ def test_minhash_identical_docs_always_candidates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_bucket_cap_drops_hot_bucket_keeps_cold(spark):
+    # docs 1-6 identical → one 6-doc bucket per band (C(6,2)=15 pairs);
+    # docs 10-11 identical → one 2-doc bucket per band. cap=4 must drop
+    # ALL hot-bucket pairs and keep the cold pair.
+    rows = [(i, ["aaaaa", "bbbbb", "ccccc"]) for i in range(1, 7)]
+    rows += [(10, ["xxxxx", "yyyyy"]), (11, ["xxxxx", "yyyyy"])]
+    docs = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    sig = minhash_signature(exploded_shingles(docs))
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, max_bucket_size=4).collect()
+    }
+    assert len(uncapped) == 16  # 15 hot + 1 cold
+    assert capped == {(10, 11)}
+    # cap >= bucket size is a no-op
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, max_bucket_size=6).collect()
+    } == uncapped
+
+
+def test_lsh_bucket_census_reports_capped_mass(spark):
+    from statcan_etl_pipeline_spark.operators.dedup import lsh_bucket_census
+
+    rows = [(i, ["aaaaa", "bbbbb", "ccccc"]) for i in range(1, 7)]
+    rows += [(10, ["xxxxx", "yyyyy"]), (11, ["xxxxx", "yyyyy"])]
+    docs = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    sig = minhash_signature(exploded_shingles(docs))
+    census = {
+        r["bucket_size"]: r
+        for r in lsh_bucket_census(sig, max_bucket_size=4).collect()
+    }
+    # 2 bands: each has one 6-doc bucket and one 2-doc bucket
+    assert census[6]["n_buckets"] == 2
+    assert census[6]["candidate_pairs"] == 2 * 15
+    assert census[6]["capped"] == 1
+    assert census[2]["n_buckets"] == 2
+    assert census[2]["candidate_pairs"] == 2 * 1
+    assert census[2]["capped"] == 0
+    # the census's capped mass is exactly what the cap drops (per-band,
+    # pre-distinct: 15 unique pairs dropped, both bands agree)
+    assert len({
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig).collect()
+    }) - len({
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, max_bucket_size=4).collect()
+    }) == 15
+
+
 def test_pipeline_runner_ops(spark):
     df = spark.createDataFrame(
         [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, k string, v double"
@@ -597,6 +647,10 @@ def test_two_pass_desc_ranks_equals_global_sort(spark):
         "negatives": [(i, -rng.randint(0, 10**9)) for i in range(200)],
         "narrow_range": [(i, rng.randint(0, 3)) for i in range(300)],
         "wide_sparse": [(i, rng.choice([-(10**12), 0, 10**12])) for i in range(100)],
+        # r10 (ADVICE): nulls must rank LAST like desc-nulls-last, not
+        # silently drop; all-null degenerates to one sentinel band
+        "with_nulls": [(i, rng.choice([None, rng.randint(-50, 50)])) for i in range(300)],
+        "all_null": [(i, None) for i in range(50)],
     }
     for label, rows in cases.items():
         df = spark.createDataFrame(rows, "id long, m long")
@@ -606,5 +660,26 @@ def test_two_pass_desc_ranks_equals_global_sort(spark):
             F.row_number().over(W.orderBy(F.desc("m"), F.asc("id"))).cast("int"),
         )
         joined = fast.join(slow.select("id", "r_ref"), "id")
+        assert joined.count() == len(rows), f"case {label}: rows lost"
         bad = joined.filter(F.col("r") != F.col("r_ref")).count()
         assert bad == 0, f"case {label}: {bad} rank mismatches"
+
+
+def test_two_pass_desc_ranks_int32_metric_no_overflow(spark):
+    """IntegerType metrics near int32 extremes must band without
+    wrapping (ADVICE r9: the band expr used to multiply in the metric's
+    native type, overflowing at ~2^31/n_bands)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.operators.ranks import two_pass_desc_ranks
+
+    rows = [(0, -(2**31)), (1, 2**31 - 1), (2, 0), (3, 2**30), (4, -(2**30))]
+    df = spark.createDataFrame(rows, "id long, m int")
+    fast = two_pass_desc_ranks(df, [("m", "r")], tie_col="id")
+    slow = df.withColumn(
+        "r_ref",
+        F.row_number().over(W.orderBy(F.desc("m"), F.asc("id"))).cast("int"),
+    )
+    joined = fast.join(slow.select("id", "r_ref"), "id")
+    assert joined.filter(F.col("r") != F.col("r_ref")).count() == 0
