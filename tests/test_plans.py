@@ -136,6 +136,11 @@ def test_bench_headline_queries_all_registered():
     assert not missing, f"bench names drifted from registry: {missing}"
     # headline set stays comparable across rounds: r1 recorded 18
     assert len(bench.HEADLINE) == 18
+    # r10: the LLM-pipeline family must stay registered and comparable
+    missing_llm = [n for n in bench.LLM_PIPELINE if n not in QUERIES]
+    assert not missing_llm, f"llm bench names drifted: {missing_llm}"
+    assert len(bench.LLM_PIPELINE) == 6
+    assert bench.REPS >= 3  # single-shot timing is a noise instrument
 
 
 def test_bucketed_tables_join_without_shuffle(spark, sf_small):
