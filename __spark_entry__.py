@@ -40,7 +40,7 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh",  # r10-modified: LSH band-bucket cap + oracle
     "events_markov_stationary",  # r10-modified: structural k<=64 guard
     # --- 11 queries last driver-verified in ROUND 1 ---
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine",  # also r10-modified: self-dots hoisted (bit-identical)
     "dedup_simhash",
     "dq_validation_report",
     "multimodal_binary_meta",

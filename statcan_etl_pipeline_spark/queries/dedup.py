@@ -274,13 +274,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Brute-force O(n²) — correct baseline and the oracle target for
     # SMALL inputs only. The scale path is dedup_embedding_lsh below:
     # same verify step, but candidates come from LSH buckets instead of
-    # an all-pairs join.
-    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # an all-pairs join. r10: the two SELF-dot products are hoisted out
+    # of the pair join (n folds instead of 2·C(n,2) — bit-identical,
+    # same trick as _embedding_lsh_pairs; only the cross-dot stays
+    # per-pair).
+    from ..functions.vectors import dot_fixed
+
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        (dot_fixed("embedding", "embedding") / F.lit(1e9)).alias("self_dot"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("self_dot").alias("daa"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("self_dot").alias("dbb"),
+    )
+    dab = dot_fixed("emb_a", "emb_b") / F.lit(1e9)
+    cos = F.when(
+        (F.col("daa") > 0) & (F.col("dbb") > 0),
+        dab / (F.sqrt("daa") * F.sqrt("dbb")),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", pround(cosine("emb_a", "emb_b"), 6))
+        .withColumn("cosine", pround(cos, 6))
         .filter(F.col("cosine") >= COS_TAU)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
