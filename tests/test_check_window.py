@@ -33,6 +33,23 @@ def test_window_is_first_fifty_unique_registered():
     assert all(name in QUERIES for name in win)
 
 
+def test_v2_hash_covers_referenced_module_helpers():
+    """The r10 hole: dedup_embedding_lsh delegates to the module-level
+    helper _embedding_lsh_pairs, so a helper rewrite must move the
+    query's v2 hash even though its own body is one line. Pin that the
+    closure (a) finds that helper and (b) differentiates v2 from v1."""
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    fn = QUERIES["dedup_embedding_lsh"]
+    closure = check_window._referenced_closure(fn)
+    assert "_embedding_lsh_pairs" in closure
+    v1, _, _ = check_window._current_hashes(version=1)
+    v2, _, _ = check_window._current_hashes(version=2)
+    assert v1["dedup_embedding_lsh"] != v2["dedup_embedding_lsh"]
+    # referenced constants ride along too (imported tuning knobs)
+    assert "--const" in closure
+
+
 def test_manifest_schema_and_clean_tree_passes():
     """The committed manifest has the {queries, modules} shape, and
     running the checker in the current tree exits 0 or 1 (never the
