@@ -28,83 +28,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- ROUND 10 WINDOW (VERDICT r9 item 1): with cumulative
-    # verification debt at zero (275/275 driver-hash-green over r1-r9),
-    # this round rotates evidence FRESHNESS. Positions 0-1: the only two
-    # queries whose source/oracle changed in r10 (the SURVEY §5.9 window
-    # invariant — scripts/check_window.py enforces it). Positions 2-49:
-    # the 48 stalest verifications — every query whose latest driver
-    # hash evidence dates to r1 (11 queries) or r2 (37 queries), i.e.
-    # seven-plus rounds old. Computed programmatically from
-    # CORRECTNESS_r01..r09 (latest all-green round per query). ---
-    "dedup_minhash_lsh",  # r10-modified: LSH band-bucket cap + oracle
-    "events_markov_stationary",  # r10-modified: structural k<=64 guard
-    # --- 11 queries last driver-verified in ROUND 1 ---
-    "dedup_embedding_cosine",  # also r10-modified: self-dots hoisted (bit-identical)
-    "dedup_simhash",
-    "dq_validation_report",
-    "multimodal_binary_meta",
-    "pipeline_declarative_demo",
-    "scd2_user_daily_value",
-    "statcan_latest_revision",
-    "statcan_locf_gapfill",
-    "statcan_pct_change_yoy",
-    "statcan_vector_timeseries",
-    "upsert_orders_corrections",
-    # --- 37 queries last driver-verified in ROUND 2 ---
-    "array_hof_user_digest",
-    "basket_part_affinity",
-    "cms_word_frequency",
-    "corpus_quality_filter",
-    "corpus_top_words",
-    "corpus_vocab_stats",
-    "corr_price_quantity",
-    "date_arithmetic_demo",
-    "embedding_norm_stats",
-    "events_dau_wau",
-    "events_funnel_conversion",
-    "events_hourly_anomalies",
-    "events_sliding_1h_15m",
-    "events_tumbling_1h",
-    "grouping_sets_flags",
-    "histogram_order_values",
-    "kmv_distinct_parts",
-    "multimodal_kind_catalog",
-    "null_semantics_demo",
-    "orders_by_quarter",
-    "q11_important_stock",
-    "q21_waiting_suppliers",
-    "range_join_events_after_signup",
-    "rfm_segments",
-    "safe_cast_demo",
-    "sample_hash_bucket",
-    "setops_active_users",
-    "statcan_rebase_index",
-    "string_functions_demo",
-    "string_fuzzy_part_match",
-    "text_langid",
-    "text_repetition_ratio",
-    "text_token_counts",
-    "variance_order_value",
-    "window_distribution_functions",
-    "window_navigation_events",
-    "window_range_7day_revenue",
-    # --- everything below position 50 is driver-green from r4-r9;
-    # next-stalest (r4) first so future rotations read top-down. The
-    # registry fills any name not listed here in QUERIES order. ---
-    "q6_forecast_revenue",
-    "topk_customers_by_revenue",
-    "dedup_exact",
-    "cdc_orders_diff",
+    # --- ROUND 11 WINDOW. Positions 0-17: every query whose source or
+    # oracle changed this round (scripts/check_window.py enforces) —
+    # the six r10-verdict perf items (PQ/IVFPQ self-dot hoist,
+    # with_pair_cosine fold materialization, LSH_BUCKET_CAP threading
+    # through the four uncapped lsh_candidate_pairs consumers,
+    # star-components switch, banded embedding-LSH rewrite) plus the
+    # NEW dedup_lsh_bucket_census. dedup_embedding_groups' v1 hash did
+    # not move (one-line body over the rewritten _embedding_lsh_pairs
+    # helper) — rotated in anyway per the r10 ADVICE; the v2 manifest
+    # (helper-closure hashes) closes that hole for future rounds.
+    # Positions 18-19: dedup-module siblings whose file changed
+    # (helper-edit triage rotated in). Positions 20-49: 30 of the 34
+    # remaining r4-verified queries — the stalest evidence block,
+    # computed programmatically from CORRECTNESS_r01..r10 (latest
+    # all-green round per query). The 4 r4 stragglers deferred to r12
+    # for capacity: dense_region_status_grid,
+    # full_outer_nation_coverage, percentile_disc_order_value,
+    # unpivot_part_measures. ---
+    "dedup_lsh_bucket_census",  # NEW (r11): cap companion report
+    "dedup_minhash_lsh",
+    "dedup_connected_groups",
+    "dedup_cluster_size_census",
+    "dedup_token_savings_by_source",
+    "minhash_jaccard_calibration",
+    "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "contamination_check",
-    "doc_token_chunks",
-    "doc_greedy_packing",
+    "dedup_embedding_groups",
+    "knn_bruteforce_cosine",
     "ann_ivf_cosine",
     "ann_lsh_cosine",
     "ann_pq_cosine",
     "ann_ivfpq_cosine",
     "ann_sq_cosine",
+    "ann_range_search",
+    "hard_negative_mining",
+    "embedding_matryoshka_recall",
+    # --- dedup-module siblings (file changed; bodies/helpers did not) ---
+    "dedup_ngram_jaccard",
+    "dedup_incremental_delta",
+    # --- 30 queries last driver-verified in ROUND 4 ---
+    "dedup_exact",
+    "q6_forecast_revenue",
+    "topk_customers_by_revenue",
+    "cdc_orders_diff",
+    "contamination_check",
+    "doc_token_chunks",
+    "doc_greedy_packing",
     "events_week4_retention",
     "events_json_extract",
     "q2_top_supplier_per_part",
@@ -126,12 +96,15 @@ _CHECK_FIRST = [
     "distinct_mktsegments",
     "agg_cube_flags",
     "pivot_status_by_segment",
-    "unpivot_part_measures",
     "window_running_revenue",
     "percentiles_order_value",
-    "percentile_disc_order_value",
-    "full_outer_nation_coverage",
+    # --- everything below position 50 is driver-green from r4-r10;
+    # next-stalest first so future rotations read top-down. The
+    # registry fills any name not listed here in QUERIES order. ---
     "dense_region_status_grid",
+    "full_outer_nation_coverage",
+    "percentile_disc_order_value",
+    "unpivot_part_measures",
     "benford_order_totals",
     "abc_part_classification",
 ]

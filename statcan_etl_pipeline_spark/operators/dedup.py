@@ -123,15 +123,23 @@ def lsh_candidate_pairs(
     bucket means either a giant duplicate cluster (for which pairwise
     enumeration is the wrong output shape — census it and treat it as
     one cluster) or band-collision flooding; either way its pairs are
-    the quadratic term. NO SILENT CAP: callers must surface the skipped
-    mass via `lsh_bucket_census`, which reports exactly which bucket
-    sizes were dropped and how many pairs that skipped. The hot set is
-    tiny by construction (≤ total_rows/cap buckets can exceed the cap),
-    so exclusion is a broadcast anti-join; the bucket-size count
-    shuffles on the same (band, key) the join itself uses, so AQE
-    reuses the exchange rather than re-scanning."""
+    the quadratic term. The cap is ALSO a recall cap: a true near-dup
+    pair whose only colliding band landed in a hot bucket is lost, not
+    deferred. NO SILENT CAP: callers must surface the skipped mass via
+    `lsh_bucket_census` (registered as the dedup_lsh_bucket_census
+    query), which upper-bounds the dropped pairs per bucket size. The
+    hot set is tiny by construction (≤ total_rows/cap buckets can
+    exceed the cap), so exclusion is a broadcast anti-join. The banded
+    index is locally checkpointed first: the hot-bucket aggregate, the
+    anti-join probe, and BOTH sides of the pair self-join consume it,
+    and AQE's exchange reuse does NOT cover the aggregate/anti-join
+    branches (measured r11 at sf0.01: 5 scans of the shingle→minhash
+    lineage without the checkpoint, 1 with — the signature computation
+    is the dominant per-row cost, so recomputing it ~4× roughly
+    doubled the capped path)."""
     banded = band_keys(signatures, n_hashes, band_rows)
     if max_bucket_size is not None:
+        banded = banded.localCheckpoint(eager=False)
         hot = (
             banded.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -165,10 +173,13 @@ def lsh_bucket_census(
     One row per distinct bucket size: how many (band, key) buckets have
     that size, the candidate pairs they would generate (n_buckets ·
     C(size, 2)), and — when a cap is given — whether pair generation
-    skips them (`capped`). Sum of candidate_pairs where capped=1 is
-    exactly the pair mass `lsh_candidate_pairs` drops (pre-dedup across
-    bands). O(distinct sizes) output rows; one shuffle on (band, key)
-    plus one on the tiny size column."""
+    skips them (`capped`). Sum of candidate_pairs where capped=1 is an
+    UPPER BOUND on the distinct pairs `lsh_candidate_pairs` drops
+    (exact per band, pre-dedup): a pair skipped in a hot bucket in one
+    band can still survive via a cold bucket in another band, so reports
+    built on the census must not read it as exact recall loss.
+    O(distinct sizes) output rows; one shuffle on (band, key) plus one
+    on the tiny size column."""
     banded = band_keys(signatures, n_hashes, band_rows)
     sizes = banded.groupBy("band", "key").agg(
         F.count(F.lit(1)).cast("long").alias("bucket_size")

@@ -29,6 +29,7 @@ from ..operators.dedup import (
     N_HASHES,
     exploded_shingles,
     jaccard_pairs,
+    lsh_bucket_census,
     lsh_candidate_pairs,
     minhash_signature,
     minhash_signature_arrays,
@@ -179,6 +180,17 @@ ORDER BY doc_a, doc_b
 
 @query("dedup_minhash_lsh", oracle=_mh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs with the band-bucket cap.
+
+    RECALL TRADEOFF of the cap (r11, per the operator contract): a
+    bucket above LSH_BUCKET_CAP contributes NO pairs, so a true
+    near-dup pair whose only colliding band landed in a hot bucket is
+    LOST, not just deferred — the cap trades bounded fan-out
+    (≤ C(cap, 2) per bucket) for recall on corpora whose duplicate
+    clusters exceed the cap. Production runs surface the skipped mass
+    with the registered dedup_lsh_bucket_census query (same SF, same
+    signatures); its capped=1 rows bound the loss. The oracle mirrors
+    the cap exactly, so parity holds at every SF."""
     docs = (
         _docs(spark, sf_dir)
         .withColumn("norm", norm_text("text"))
@@ -192,6 +204,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Band-bucket census (r11, the cap's companion report — ADVICE): one
+# row per distinct (band, key) bucket size with the candidate-pair mass
+# it would generate and whether LSH_BUCKET_CAP excludes it from pair
+# generation. Registered as a first-class query so production runs
+# REPORT the dropped mass instead of pinning it only in pytest.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_lsh_bucket_census",
+    oracle=f"""
+WITH {_mh_pairs_ctes()},
+sizes AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+  FROM bands GROUP BY band, key
+),
+census AS (
+  SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+  FROM sizes GROUP BY bucket_size
+)
+SELECT bucket_size, n_buckets,
+       CAST(bucket_size * (bucket_size - 1) / 2 * n_buckets AS BIGINT)
+         AS candidate_pairs,
+       CAST(bucket_size > {LSH_BUCKET_CAP} AS INT) AS capped
+FROM census
+ORDER BY bucket_size
+""",
+)
+def dedup_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size census for the banded MinHash-LSH index: for each
+    distinct bucket size, how many (band, key) buckets have it, the
+    per-band candidate pairs they generate (n_buckets · C(size, 2)),
+    and whether dedup_minhash_lsh's LSH_BUCKET_CAP excludes them
+    (capped=1). Sum of candidate_pairs where capped=1 is an UPPER
+    BOUND on the distinct pairs the cap drops (exact per band,
+    pre-dedup — a pair skipped in a hot bucket can still survive via a
+    cold bucket in another band). O(distinct sizes) output rows; the
+    bands shuffle is the same exchange the pair join uses."""
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("norm", norm_text("text"))
+        .withColumn("shingles", char_shingles("norm", 5))
+    )
+    sig = minhash_signature(exploded_shingles(docs), N_HASHES)
+    return lsh_bucket_census(
+        sig, N_HASHES, BAND_ROWS, LSH_BUCKET_CAP
+    ).orderBy("bucket_size")
+
+
+# ---------------------------------------------------------------------------
 # Near-dup GROUPS: connected components over minhash candidate pairs.
 # The Spark side is iterative min-label propagation; the DuckDB oracle
 # computes the same fixpoint with a recursive CTE (min reachable doc_id
@@ -202,7 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_connected_groups",
     oracle=f"""
-WITH RECURSIVE {_mh_pairs_ctes()},
+WITH RECURSIVE {_mh_pairs_ctes(max_bucket_size=LSH_BUCKET_CAP)},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -218,7 +278,18 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 """,
 )
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
+    """Near-dup groups over capped banded-LSH candidate pairs.
+
+    r11: (a) candidate generation carries LSH_BUCKET_CAP (mirrored in
+    the recursive oracle) so the quadratic hot-bucket term measured at
+    sf1 — 79% of 1.27M pairs from 74 over-cap buckets — is bounded on
+    the components path too, with the skipped mass census-reported by
+    dedup_lsh_bucket_census (the cap is also a RECALL cap: a true
+    near-dup pair whose only colliding band hit a hot bucket is lost);
+    (b) components run large-star/small-star (O(log² n) rounds vs
+    O(diameter)) — the oracle's min-reachable-id fixpoint is
+    formulation-agnostic, so hashes are unchanged."""
+    from ..operators.components import connected_components_star
 
     docs = (
         _docs(spark, sf_dir)
@@ -227,8 +298,8 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
-    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS, LSH_BUCKET_CAP)
+    comp = connected_components_star(docs.select("doc_id"), pairs)
     return comp.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("group_rep")
     )
@@ -275,10 +346,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SMALL inputs only. The scale path is dedup_embedding_lsh below:
     # same verify step, but candidates come from LSH buckets instead of
     # an all-pairs join. r10: the two SELF-dot products are hoisted out
-    # of the pair join (n folds instead of 2·C(n,2) — bit-identical,
-    # same trick as _embedding_lsh_pairs; only the cross-dot stays
-    # per-pair).
-    from ..functions.vectors import dot_fixed
+    # of the pair join (n folds instead of 2·C(n,2) — bit-identical);
+    # r11: the cross-dot is materialized once per pair too
+    # (with_pair_cosine — the rounding wrapper was evaluating it 3×).
+    from ..functions.vectors import dot_fixed, with_pair_cosine
 
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
@@ -295,15 +366,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("self_dot").alias("dbb"),
     )
-    dab = dot_fixed("emb_a", "emb_b") / F.lit(1e9)
-    cos = F.when(
-        (F.col("daa") > 0) & (F.col("dbb") > 0),
-        dab / (F.sqrt("daa") * F.sqrt("dbb")),
-    )
+    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", pround(cos, 6))
-        .filter(F.col("cosine") >= COS_TAU)
+        with_pair_cosine(
+            joined, "emb_a", "emb_b", "cosine",
+            daa="daa", dbb="dbb", min_value=COS_TAU,
+        )
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
@@ -361,47 +429,77 @@ ORDER BY vec_a, vec_b
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup: candidates from T=3 independent
-    sign-bucket tables (union + distinct), exact cosine verify on the
-    candidate set only. One shuffle per table on the bucket key plus
-    two id-equi-joins for the verify — survives 100× where the
-    brute-force baseline's inequality join cannot."""
+    sign-bucket tables, exact cosine verify on the candidate set only.
+    ONE shuffle on the exploded (table, bucket) key (r11 — was one
+    join per table) plus two id-equi-joins for the verify — survives
+    100× where the brute-force baseline's inequality join cannot.
+
+    CANDIDATE PRECISION, measured honestly (r11): on this corpus the
+    true pairs sit at cosine 0.40–0.60 (θ ≈ 53–66°; median 0.419 at
+    sf0.1 — marginal-angle pairs, NOT near-identical duplicates), where
+    sign-LSH's amplification exponent ρ = ln(1−θ/π)/ln(1/2) ≈ 0.65 is
+    weak. The (T, p) frontier measured at sf0.1 (920 true pairs):
+    (3,4) = 361k cands / recall 0.434 (shipped); (3,8) = 27k / 0.088;
+    (6,10) = 15k / 0.080; holding recall at 0.434 needs T ≈ 21 tables
+    of p = 8 for only ≈ 2.2× fewer candidates. A ≥5× candidate cut at
+    unchanged recall is NOT reachable for this family on this pair-
+    angle distribution — the knobs exist (`n_tables`/`n_planes` on
+    _embedding_lsh_pairs) and pay off precisely on corpora whose dups
+    are high-cosine (p = 16, T = 4 at cos ≥ 0.95: per-table collision
+    0.18, OR-4 recall 0.55, candidates ~n²/2¹⁶·4). Recall floor is
+    pinned in tests/test_similarity.py."""
     return _embedding_lsh_pairs(spark, sf_dir)
 
 
-def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embedding_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = LSH_TABLES,
+    n_planes: int = 4,
+) -> DataFrame:
     """(vec_a, vec_b, cosine) near-dup pairs via multi-table LSH +
     exact verify — the shared edge-producer for dedup_embedding_lsh
-    and dedup_embedding_groups.
+    and dedup_embedding_groups. `n_tables` OR-amplifies recall,
+    `n_planes` AND-amplifies precision (defaults = the registered
+    queries' oracle constants; see dedup_embedding_lsh's docstring for
+    the measured frontier).
+
+    Plan shape (r11): each vector explodes into `n_tables` (t, bucket)
+    keys — the same banded-index architecture as the MinHash path — so
+    candidate generation is ONE self-equi-join on (t, bucket) after a
+    single exchange that AQE reuses for both sides, instead of
+    n_tables separate joins that each re-derived the bucket columns.
 
     r10 perf (results bit-identical, parity-proven): the cosine's two
-    SELF-dot products depend only on the individual vectors, so they
-    are computed once per vector (n evaluations) and joined onto the
-    candidate pairs, instead of re-folding both 64-dim arrays per pair
-    (2·|candidates| evaluations — at sf0.1 that was 722k interpreted
-    HOF folds for 2k vectors; measured 15.1 s → 6.5 s). The integer
-    fixed-point self-dot is deterministic, so joining it is the same
-    value the per-pair fold produced; only the cross-dot remains
-    per-pair."""
-    from ..functions.vectors import dot_fixed
+    SELF-dot products are computed once per vector and joined onto the
+    candidate pairs (2·|candidates| folds → n). r11: the cross-dot is
+    materialized once per pair as well — the rounding wrapper was
+    expression-copying it 3× (with_pair_cosine)."""
+    from ..functions.vectors import dot_fixed, with_pair_cosine
 
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    buck = emb.select(
-        "vec_id",
-        "embedding",
+    keys = F.array(
         *[
-            lsh_bucket("embedding", _lsh_table_prefix(t)).alias(f"b{t}")
-            for t in range(LSH_TABLES)
-        ],
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(
+                    "embedding", _lsh_table_prefix(t), n_planes=n_planes
+                ).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    cand = None
-    for t in range(LSH_TABLES):
-        a = buck.select(F.col("vec_id").alias("vec_a"), F.col(f"b{t}").alias("bk"))
-        b = buck.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bk"))
-        part = a.join(b, ["bk"]).filter(F.col("vec_a") < F.col("vec_b")).select(
-            "vec_a", "vec_b"
-        )
-        cand = part if cand is None else cand.unionByName(part)
-    cand = cand.distinct()
+    banded = emb.select("vec_id", F.explode(keys).alias("k")).select(
+        "vec_id", F.col("k.t").alias("t"), F.col("k.bk").alias("bk")
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "t", "bk")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "t", "bk")
+    cand = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     with_norm = emb.select(
         "vec_id",
         "embedding",
@@ -417,16 +515,12 @@ def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("self_dot").alias("dbb"),
     )
-    dab = dot_fixed("emb_a", "emb_b") / F.lit(1e9)
-    cos = F.when(
-        (F.col("daa") > 0) & (F.col("dbb") > 0),
-        dab / (F.sqrt("daa") * F.sqrt("dbb")),
-    )
+    joined = cand.join(ea, ["vec_a"]).join(eb, ["vec_b"])
     return (
-        cand.join(ea, ["vec_a"])
-        .join(eb, ["vec_b"])
-        .withColumn("cosine", pround(cos, 6))
-        .filter(F.col("cosine") >= COS_TAU)
+        with_pair_cosine(
+            joined, "emb_a", "emb_b", "cosine",
+            daa="daa", dbb="dbb", min_value=COS_TAU,
+        )
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -494,7 +588,7 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_size_census",
     oracle=f"""
-WITH RECURSIVE {_mh_pairs_ctes()},
+WITH RECURSIVE {_mh_pairs_ctes(max_bucket_size=LSH_BUCKET_CAP)},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -522,7 +616,9 @@ ORDER BY cluster_size
 """,
 )
 def dedup_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
+    # r11: candidate pairs carry LSH_BUCKET_CAP (oracle mirrored) and
+    # components run large-star/small-star — see dedup_connected_groups.
+    from ..operators.components import connected_components_star
 
     docs = (
         _docs(spark, sf_dir)
@@ -531,8 +627,8 @@ def dedup_cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
-    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS, LSH_BUCKET_CAP)
+    comp = connected_components_star(docs.select("doc_id"), pairs)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -573,7 +669,7 @@ def _calibration_sql() -> str:
         for k in range(N_HASHES)
     )
     return f"""
-WITH {_mh_pairs_ctes()},
+WITH {_mh_pairs_ctes(max_bucket_size=LSH_BUCKET_CAP)},
 counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT p.doc_a, p.doc_b, count(*) AS common
@@ -601,6 +697,9 @@ ORDER BY g.doc_a, g.doc_b
 
 @query("minhash_jaccard_calibration", oracle=_calibration_sql())
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: calibration runs over the SAME capped candidate set the
+    # production pair generator emits (oracle mirrored) — auditing
+    # pairs the cap excludes would grade a set nothing downstream sees.
     docs = (
         _docs(spark, sf_dir)
         .withColumn("norm", norm_text("text"))
@@ -608,7 +707,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
-    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS, LSH_BUCKET_CAP)
     n_match = sum(
         F.when(F.col(f"a.mh_{k}") == F.col(f"b.mh_{k}"), 1).otherwise(0)
         for k in range(N_HASHES)
@@ -679,7 +778,7 @@ SELECT t.source,
 FROM tok t JOIN rep r ON t.doc_id = r.doc_id
 GROUP BY t.source
 ORDER BY t.source
-""".replace("{CTES}", _mh_pairs_ctes()).replace(
+""".replace("{CTES}", _mh_pairs_ctes(max_bucket_size=LSH_BUCKET_CAP)).replace(
         "{PCT}",
         R(
             "CAST(sum(CASE WHEN r.group_rep <> r.doc_id THEN t.n_tok ELSE 0 END)"
@@ -689,7 +788,9 @@ ORDER BY t.source
     ),
 )
 def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
+    # r11: candidate pairs carry LSH_BUCKET_CAP (oracle mirrored) and
+    # components run large-star/small-star — see dedup_connected_groups.
+    from ..operators.components import connected_components_star
 
     docs = (
         _docs(spark, sf_dir)
@@ -698,8 +799,8 @@ def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shingled = exploded_shingles(docs)
     sig = minhash_signature(shingled, N_HASHES)
-    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS)
-    comp = connected_components(docs.select("doc_id"), pairs)
+    pairs = lsh_candidate_pairs(sig, N_HASHES, BAND_ROWS, LSH_BUCKET_CAP)
+    comp = connected_components_star(docs.select("doc_id"), pairs)
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",

@@ -23,13 +23,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, scatter
 from ..functions.portable import pround, sql_round as R
 from ..functions.vectors import (
-    cosine,
     dot_fixed,
     sql_cosine,
     sql_dot_fixed,
     sql_list_lit,
     sql_sqdist_fixed,
     sqdist_fixed,
+    with_pair_cosine,
 )
 from ..registry import query
 
@@ -59,16 +59,26 @@ ORDER BY query_id, rank
 """,
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # scatter so the per-pair fixed-point dot products run wide
-    emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    # scatter so the per-pair fixed-point dot products run wide; self-
+    # dots hoisted per vector, cross-dot materialized once per pair
+    # (with_pair_cosine — bit-identical, 9→1 folds per pair, r11)
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
+        "self_dot", dot_fixed("embedding", "embedding") / F.lit(1e9)
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("self_dot").alias("daa"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("self_dot").alias("dbb"),
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     return (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(joined, "emb_q", "emb_c", "cosine", daa="daa", dbb="dbb")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -92,11 +102,16 @@ def _hyperplanes(
     return planes
 
 
-def lsh_bucket(emb_col: str, prefix: str = "plane") -> F.Column:
+def lsh_bucket(
+    emb_col: str, prefix: str = "plane", n_planes: int = N_PLANES
+) -> F.Column:
     """Sign-bit bucket key from the deterministic hyperplanes.
-    Fixed-point dots, so the sign test is engine-exact."""
+    Fixed-point dots, so the sign test is engine-exact. `n_planes` is
+    the AND-amplification knob (each extra plane halves the expected
+    bucket occupancy; see dedup_embedding_lsh for the measured
+    precision/recall frontier)."""
     bits = []
-    for row in _hyperplanes(prefix=prefix):
+    for row in _hyperplanes(n_planes=n_planes, prefix=prefix):
         plane = F.array(*[F.lit(v) for v in row])
         dot = dot_fixed(F.col(emb_col), plane)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
@@ -113,7 +128,15 @@ def sql_lsh_bucket(emb: str, prefix: str = "plane") -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-def _centroids(n_cells: int = 8, dim: int = DIM) -> list[list[float]]:
+# Gate-SF default cell count. The production rule is n_cells ≈ √n
+# (balances the two cost terms: per-query centroid scoring ∝ n_cells
+# and per-cell candidate scan ∝ n/n_cells) — measured at sf1 in
+# SCALING.md via ann_ivf_cosine_at(n_cells≈√n). The registered query
+# keeps the fixed default so the oracle literals stay stable.
+N_CELLS = 8
+
+
+def _centroids(n_cells: int = N_CELLS, dim: int = DIM) -> list[list[float]]:
     """Deterministic pseudo-random coarse centroids (md5-derived).
     Production IVF would k-means these; deterministic seeds keep the
     demo reproducible with the same Spark-side plumbing."""
@@ -127,21 +150,21 @@ def _centroids(n_cells: int = 8, dim: int = DIM) -> list[list[float]]:
     return cells
 
 
-def _cell_scores(emb_col: str):
+def _cell_scores(emb_col: str, n_cells: int = N_CELLS):
     """Fixed-point dot against every centroid (codegen'd, no Python) —
     argmax over int64 scores is engine-exact."""
     scores = []
-    for row in _centroids():
+    for row in _centroids(n_cells):
         cen = F.array(*[F.lit(v) for v in row])
         scores.append(dot_fixed(F.col(emb_col), cen))
     return scores
 
 
-def assign_cells(df, emb_col: str, nprobe: int = 1):
+def assign_cells(df, emb_col: str, nprobe: int = 1, n_cells: int = N_CELLS):
     """Add `cells`: indices (0-based) of the nprobe highest-dot
     centroids — argmax via array_position (first match = deterministic
     tie-break)."""
-    df = df.withColumn("_s", F.array(*_cell_scores(emb_col)))
+    df = df.withColumn("_s", F.array(*_cell_scores(emb_col, n_cells)))
     best1 = (F.array_position(F.col("_s"), F.array_max("_s")) - 1).cast("int")
     df = df.withColumn("_c1", best1)
     if nprobe == 1:
@@ -204,25 +227,69 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: candidates restricted to the query's nprobe=2
     coarse cells; vectors carry a single best cell. At scale the
     inverted lists are the partitioning: shuffle once on cell id,
-    search within cells only."""
+    search within cells only. Cell count is N_CELLS here (stable oracle
+    literals); production sizes it by the √n rule — see
+    ann_ivf_cosine_at and the SCALING.md sf1 measurement."""
+    return ann_ivf_cosine_at(spark, sf_dir)
+
+
+def _ivf_cell_ranked(spark: SparkSession, emb: DataFrame, n_cells: int = N_CELLS):
+    """(vec_id, embedding, cell, rnk): every vector ranked against the
+    broadcast centroid relation by fixed-point dot DESC with cell-ASC
+    tie-break — the DataFrame twin of the oracle's `rc` CTE and of
+    assign_cells' array_position first-match argmax (rnk=1 = best
+    cell, rnk≤2 = nprobe 2). Scoring is a broadcast nested-loop over
+    the k-row codebook; only the per-vector rank shuffles (on vec_id)."""
+    cents = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(_centroids(n_cells))],
+        schema="cell INT, cvec ARRAY<DOUBLE>",
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("score", dot_fixed("embedding", "cvec"))
+        .withColumn("rnk", F.row_number().over(wa))
+    )
+
+
+def ann_ivf_cosine_at(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> DataFrame:
+    """ann_ivf_cosine with the coarse-quantizer cell count exposed —
+    the knob the √n rule tunes (n_cells ≈ √n balances per-query
+    centroid scoring ∝ n_cells against per-cell candidate scan ∝
+    n/n_cells). Same deterministic md5 centroid family and the same
+    ranking semantics (fixed-point dot DESC, cell-ASC tie-break) as
+    the registered query — pinned equal at n_cells=N_CELLS by
+    tests/test_similarity.py.
+
+    ARCHITECTURE (r11): the codebook here is a broadcast RELATION, not
+    inline literal expressions. assign_cells' inlined arrays are right
+    for a handful of cells, but each centroid becomes expression-tree
+    code — at k = 141 (√n for sf1) codegen OOMs the driver before a
+    single row moves. Joining a k-row broadcast frame scales k as
+    DATA: scoring is a shuffle-free broadcast nested-loop (n·k rows,
+    one fixed-point fold each), the per-vector argmax is a window on
+    vec_id (at extreme scale a map-side max_by aggregate removes that
+    shuffle too)."""
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    cand = assign_cells(emb, "embedding", nprobe=1).select(
+    ranked = _ivf_cell_ranked(spark, emb, n_cells)
+    cand = ranked.filter(F.col("rnk") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_c"),
-        F.element_at("cells", 1).alias("cell"),
+        "cell",
     )
-    q = assign_cells(
-        emb.filter(F.col("vec_id") < N_QUERIES), "embedding", nprobe=2
-    ).select(
+    q = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_q"),
-        F.explode("cells").alias("cell"),
+        "cell",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    joined = cand.join(F.broadcast(q), ["cell"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     return (
-        cand.join(F.broadcast(q), ["cell"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(joined, "emb_q", "emb_c", "cosine")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine", "cell")
@@ -270,12 +337,12 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("bc"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    joined = c.join(
+        F.broadcast(q),
+        (F.col("bq") == F.col("bc")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
     return (
-        c.join(
-            F.broadcast(q),
-            (F.col("bq") == F.col("bc")) & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(joined, "emb_q", "emb_c", "cosine")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine", F.col("bq").alias("bucket"))
@@ -315,17 +382,22 @@ def _subvec(emb_col: str, m: int) -> F.Column:
 def pq_encode(df, emb_col: str = "embedding"):
     """Add code_0..code_{M-1}: nearest-centroid index per sub-space
     (fixed-point squared-distance argmin, first-match deterministic
-    tie-break — engine-exact). All JVM-side array math inside codegen."""
+    tie-break — engine-exact). All JVM-side array math.
+
+    r11: the per-sub-space distance array is materialized as its own
+    column before the argmin references it — the inline form embedded
+    the K fold expressions twice (array_position + array_min), i.e.
+    2·M·K = 64 interpreted 16-dim folds per row instead of 32."""
     for m in range(PQ_M):
         sub = _subvec(emb_col, m)
         dists = [
             sqdist_fixed(sub, F.array(*[F.lit(v) for v in row]))
             for row in _pq_codebook(m)
         ]
-        darr = F.array(*dists)
-        df = df.withColumn(
-            f"code_{m}", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-        )
+        df = df.withColumn(f"_d{m}", F.array(*dists)).withColumn(
+            f"code_{m}",
+            (F.array_position(F.col(f"_d{m}"), F.array_min(f"_d{m}")) - 1).cast("int"),
+        ).drop(f"_d{m}")
     return df
 
 
@@ -339,6 +411,43 @@ def pq_decode(df):
         )
         parts.append(F.element_at(book, F.col(f"code_{m}") + 1))
     return df.withColumn("reconstructed", F.concat(*parts))
+
+
+def _pq_reconstructed(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, reconstructed): PQ encode+decode via the codebook as a
+    broadcast RELATION (r11) — the DataFrame twin of the oracle's
+    enc/recon CTEs. Each vector scores the M·K book rows (one
+    fixed-point sub-space sqdist per row, broadcast nested-loop), the
+    per-(vector, sub-space) argmin is a row_number with code-ASC
+    tie-break (identical to pq_encode's array_position first-match),
+    and the decoded vector is the chosen centroids concatenated in
+    sub-space order. Replaces 64 inline 16-dim fold TREES per row
+    (pq_encode's argmin embedded each codebook fold twice) with n·M·K
+    data rows — codebook size scales as data, not as expression code."""
+    books = spark.createDataFrame(
+        [
+            (m, k, [float(v) for v in row])
+            for m in range(PQ_M)
+            for k, row in enumerate(_pq_codebook(m))
+        ],
+        schema="m INT, code INT, bvec ARRAY<DOUBLE>",
+    )
+    sub = F.slice(F.col("embedding"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM)
+    we = W.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("code"))
+    enc = (
+        emb.crossJoin(F.broadcast(books))
+        .withColumn("dist", sqdist_fixed(sub, F.col("bvec")))
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") == 1)
+    )
+    return enc.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "bvec"))),
+                lambda s: s["bvec"],
+            )
+        ).alias("reconstructed")
+    )
 
 
 def _sql_books() -> str:
@@ -398,20 +507,33 @@ ORDER BY query_id, rank
 def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: rank candidates by cosine(query, decode(encode(vector))).
     Queries stay full-precision (asymmetric distance computation); the
-    database side carries only M small int codes + the shared codebook."""
+    database side carries only M small int codes + the shared codebook.
+
+    r11 perf (bit-identical, same hoist as dedup_embedding_lsh r10):
+    both SELF-dot products depend only on the individual vectors, so
+    they are computed once per vector (n + N_QUERIES folds) instead of
+    per pair (2·n·N_QUERIES interpreted 64-dim HOF folds); only the
+    cross-dot stays in the pair join. The fixed-point self-dot is
+    deterministic, so the joined value equals what the per-pair fold
+    produced. Encode/decode run over the codebook RELATION
+    (_pq_reconstructed) instead of inline literal expression trees."""
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    cand = pq_decode(pq_encode(emb)).select(
+    cand = _pq_reconstructed(spark, emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("reconstructed").alias("emb_c"),
-        *[F.col(f"code_{m}") for m in range(PQ_M)],
+        (dot_fixed("reconstructed", "reconstructed") / F.lit(1e9)).alias("dbb"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        (dot_fixed("embedding", "embedding") / F.lit(1e9)).alias("daa"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    joined = cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     return (
-        cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx_cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(
+            joined, "emb_q", "emb_c", "approx_cosine", daa="daa", dbb="dbb"
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "approx_cosine")
@@ -461,25 +583,38 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     full precision and probe nprobe=2 cells. At 100 TB the inverted
     lists are the partitioning and the PQ codes are the only per-vector
     state — 64 floats → 4 int codes is what lets a billion-vector index
-    fit executor memory."""
+    fit executor memory.
+
+    r11 perf: SELF-dots hoisted per vector out of the pair join
+    (bit-identical — see ann_pq_cosine's note); cell assignment and
+    PQ encode/decode run over broadcast codebook RELATIONS
+    (_ivf_cell_ranked / _pq_reconstructed) instead of inline literal
+    expression trees."""
     emb = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    cand = pq_decode(pq_encode(assign_cells(emb, "embedding", nprobe=1))).select(
+    ranked = _ivf_cell_ranked(spark, emb)
+    cells1 = ranked.filter(F.col("rnk") == 1).select("vec_id", "embedding", "cell")
+    cand = _pq_reconstructed(spark, emb).join(
+        cells1.select("vec_id", "cell"), ["vec_id"]
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("reconstructed").alias("emb_c"),
-        F.element_at("cells", 1).alias("cell"),
+        (dot_fixed("reconstructed", "reconstructed") / F.lit(1e9)).alias("dbb"),
+        "cell",
     )
-    q = assign_cells(
-        emb.filter(F.col("vec_id") < N_QUERIES), "embedding", nprobe=2
-    ).select(
+    q = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_q"),
-        F.explode("cells").alias("cell"),
+        (dot_fixed("embedding", "embedding") / F.lit(1e9)).alias("daa"),
+        "cell",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    joined = cand.join(F.broadcast(q), ["cell"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     return (
-        cand.join(F.broadcast(q), ["cell"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx_cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(
+            joined, "emb_q", "emb_c", "approx_cosine", daa="daa", dbb="dbb"
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "approx_cosine", "cell")
@@ -619,9 +754,9 @@ def ann_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("neighbor_id"))
+    joined = cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     return (
-        cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx_cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(joined, "emb_q", "emb_c", "approx_cosine")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "approx_cosine")
@@ -663,10 +798,9 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
     )
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     return (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
-        .filter(F.col("cosine") >= RANGE_TAU)
+        with_pair_cosine(joined, "emb_q", "emb_c", "cosine", min_value=RANGE_TAU)
         .select("query_id", "neighbor_id", "cosine")
         .orderBy("query_id", "neighbor_id")
     )
@@ -718,13 +852,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_c"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    joined = c.join(
+        F.broadcast(q),
+        (F.col("negative_id") != F.col("query_id"))
+        & (F.col("negative_label") != F.col("query_label")),
+    )
     return (
-        c.join(
-            F.broadcast(q),
-            (F.col("negative_id") != F.col("query_id"))
-            & (F.col("negative_label") != F.col("query_label")),
-        )
-        .withColumn("cosine", pround(cosine("emb_q", "emb_c"), 6))
+        with_pair_cosine(joined, "emb_q", "emb_c", "cosine")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= HN_TOP_K)
         .select("query_id", "query_label", "negative_id", "negative_label", "rank", "cosine")
@@ -783,20 +917,14 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
     )
-    pairs = (
+    joined = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            pround(cosine("emb_q", "emb_c"), 6).alias("cos_full"),
-            pround(
-                cosine(
-                    F.slice(F.col("emb_q"), 1, _MRL_DIM),
-                    F.slice(F.col("emb_c"), 1, _MRL_DIM),
-                ),
-                6,
-            ).alias("cos_trunc"),
-        )
+        .withColumn("emb_q16", F.slice(F.col("emb_q"), 1, _MRL_DIM))
+        .withColumn("emb_c16", F.slice(F.col("emb_c"), 1, _MRL_DIM))
+    )
+    joined = with_pair_cosine(joined, "emb_q", "emb_c", "cos_full")
+    pairs = with_pair_cosine(joined, "emb_q16", "emb_c16", "cos_trunc").select(
+        "query_id", "neighbor_id", "cos_full", "cos_trunc"
     )
     wf = W.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
     wt = W.partitionBy("query_id").orderBy(F.desc("cos_trunc"), F.asc("neighbor_id"))
