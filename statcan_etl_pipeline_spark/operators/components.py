@@ -151,13 +151,17 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        unchanged = (
-            e2.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e2).limit(1).count() == 0
-        )
-        e = e2
+        # multiset equality via ONE exceptAll + a count (r11): e2⊆e as
+        # multisets plus |e2| == |e| implies e2 == e — the second
+        # (reverse) exceptAll join per round was redundant. Both inputs
+        # are distinct-deduped star edges; counts scan the
+        # materialized checkpoints only.
+        n2 = e2.count()
+        unchanged = n2 == n_edges and e2.exceptAll(e).limit(1).count() == 0
+        e, n_edges = e2, n2
         if unchanged:
             break
     else:

@@ -227,6 +227,51 @@ def test_embedding_lsh_amplification_knobs(spark, sf_small):
     assert got == want
 
 
+def test_relation_codebooks_match_inline_helpers(spark, sf_small):
+    """The r11 broadcast-relation formulations must be BIT-equal to the
+    inline literal-expression helpers they replaced in the registered
+    queries: _ivf_cell_ranked(rnk=1) == assign_cells(nprobe=1) and
+    _pq_reconstructed == pq_decode(pq_encode(...)) — same argmax/argmin
+    values AND the same first-match tie-breaks. This pins the two
+    formulations together so neither drifts (the inline helpers remain
+    the definitional spec; the relation path is the production shape)."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.catalog import load_table
+    from statcan_etl_pipeline_spark.queries.similarity import (
+        _ivf_cell_ranked,
+        _pq_reconstructed,
+        assign_cells,
+        pq_decode,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    inline_cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, "embedding", nprobe=1)
+        .select("vec_id", F.element_at("cells", 1).alias("cell"))
+        .collect()
+    }
+    rel_cells = {
+        r["vec_id"]: r["cell"]
+        for r in _ivf_cell_ranked(spark, emb)
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert rel_cells == inline_cells
+    inline_recon = {
+        r["vec_id"]: tuple(r["reconstructed"])
+        for r in pq_decode(pq_encode(emb)).select("vec_id", "reconstructed").collect()
+    }
+    rel_recon = {
+        r["vec_id"]: tuple(r["reconstructed"])
+        for r in _pq_reconstructed(spark, emb).collect()
+    }
+    assert rel_recon == inline_recon
+
+
 def test_kmeans_matches_numpy_lloyd(spark, sf_small):
     """Engine-independent semantics check: replicate the fixed-point
     Lloyd iterations in numpy (same init, same rounding, same
