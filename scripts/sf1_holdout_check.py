@@ -137,6 +137,11 @@ class Ctx:
     def __init__(self, sf_dir: str):
         self.sf_dir = sf_dir
         self.con = duckdb.connect()
+        # sf1's LPA rounds grow a ~20M-edge join state; unbounded,
+        # DuckDB's default (80% of RAM) OOM-killed the process on a
+        # 128 GB box alongside the Spark JVM. Cap + spill instead.
+        self.con.execute("SET memory_limit = '40GB'")
+        self.con.execute("SET temp_directory = '/tmp/duckdb_spill'")
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             self.con.execute(
@@ -398,17 +403,27 @@ def exp_part_label_propagation_communities(ctx: Ctx) -> pd.DataFrame:
         "CREATE TEMP TABLE labels0 AS SELECT DISTINCT part AS node, "
         "CAST(part AS BIGINT) AS lab FROM pp"
     )
+    # The oracle's -max(struct_pack(w, -lab)) arg-max is decomposed
+    # into plain max + min-over-ties (identical tie-break: largest
+    # wsum, then smallest lab): in DuckDB 1.0.0 a struct-max over the
+    # ~20M (dst, lab) groups at sf1 ignores memory_limit and OOMs a
+    # 128 GB box; max/min aggregates + a join stay under 3 GB.
     for k in range(1, _LPA_ROUNDS + 1):
         c.execute(
-            f"CREATE TEMP TABLE labels{k} AS WITH nb AS ("
+            "CREATE TEMP TABLE nb AS "
             f"SELECT e.dst AS node, l.lab AS lab, CAST(sum(e.w) AS BIGINT)"
             f" AS wsum FROM lpa_edges e JOIN labels{k - 1} l ON l.node = e.src"
-            " GROUP BY e.dst, l.lab), pick AS (SELECT node, "
-            "-struct_extract(max(struct_pack(w := wsum, nl := -lab)), 'nl')"
-            " AS newlab FROM nb GROUP BY node) "
+            " GROUP BY e.dst, l.lab"
+        )
+        c.execute(
+            f"CREATE TEMP TABLE labels{k} AS WITH mx AS ("
+            "SELECT node, max(wsum) AS mw FROM nb GROUP BY node"
+            "), pick AS (SELECT n.node, min(n.lab) AS newlab FROM nb n "
+            "JOIN mx ON n.node = mx.node AND n.wsum = mx.mw GROUP BY n.node) "
             f"SELECT l.node, CAST(coalesce(p.newlab, l.lab) AS BIGINT) AS lab "
             f"FROM labels{k - 1} l LEFT JOIN pick p ON p.node = l.node"
         )
+        c.execute("DROP TABLE nb")
     return c.execute(
         f"SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_parts "
         f"FROM labels{_LPA_ROUNDS} GROUP BY lab "
