@@ -312,15 +312,15 @@ WITH {_EDGES_SQL}, oriented AS (
 ), wedges AS (
   SELECT a.t AS x, b.t AS y
   FROM oriented a JOIN oriented b ON a.s = b.s AND a.t < b.t
+), canon AS (
+  -- each undirected edge exists in exactly one degree orientation, so
+  -- its numerically-canonical form is unique; wedge ends satisfy x < y,
+  -- hence ONE equi-join closes the wedge (not an OR-join, which
+  -- degrades to a nested loop, and not two probes over the wedge set)
+  SELECT least(s, t) AS x, greatest(s, t) AS y FROM oriented
 ), tri AS (
-  -- two equi-joins, not one OR-join (an OR join condition degrades to a
-  -- nested-loop plan); each undirected edge exists in exactly one
-  -- orientation, so the branches are disjoint
-  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
-    SELECT w.x FROM wedges w JOIN oriented o ON w.x = o.s AND w.y = o.t
-    UNION ALL
-    SELECT w.x FROM wedges w JOIN oriented o ON w.y = o.s AND w.x = o.t
-  )
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedges w JOIN canon o ON w.x = o.x AND w.y = o.y
 ), summary AS (
   -- sum the even integer d*(d-1) EXACTLY (DuckDB int sums promote to
   -- HUGEINT) and halve with integer division AFTER the aggregate:
@@ -339,7 +339,14 @@ FROM summary s CROSS JOIN ecount e CROSS JOIN tri t
 """,
 )
 def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
+    # r11: the lineitem self-join lineage behind `edges` feeds FOUR
+    # consumers (deg/summary, ecount, both wedge sides, the closing-edge
+    # probe) and the plan recomputed it per branch; a lazy
+    # localCheckpoint pins one computation of each (edges ~|E| rows of
+    # two longs, oriented the same — bounded, the components-iteration
+    # precedent). On a cluster this is a persist of the edge list —
+    # exactly what any production triangle count does.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _copurchase_degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -353,20 +360,45 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lesser, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lesser, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .localCheckpoint(eager=False)
     )
-    wa = oriented.select(F.col("s"), F.col("t").alias("x"))
-    wb = oriented.select(F.col("s"), F.col("t").alias("y"))
-    wedges = wa.join(wb, "s").filter(F.col("x") < F.col("y")).select("x", "y")
-    # close the wedge in either orientation (degree order of (x, y) is
-    # unknown); both probes hit the same shuffled edge set
-    o1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
-    closed = wedges.join(o1, ["x", "y"], "left_semi").unionAll(
-        wedges.join(
-            o1.select(F.col("y").alias("x"), F.col("x").alias("y")),
-            ["x", "y"],
-            "left_semi",
-        )
+    # r11: wedges come from SORTED per-pivot adjacency arrays — exactly
+    # C(outdeg, 2) rows emitted (posexplode + suffix slice), where the
+    # former self-join streamed outdeg² rows through the join machinery
+    # before the x < y filter halved them. The collect_list shuffle is
+    # |E| rows vs the self-join's |E|-row exchange, so wedge generation
+    # is strictly cheaper; outdeg is bounded by O(sqrt|E|) under degree
+    # orientation, so no adjacency array is pathological.
+    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    wedges = adj.select(
+        F.posexplode("ts").alias("i", "x"), F.col("ts")
+    ).select(
+        "x",
+        F.explode(
+            F.slice("ts", F.col("i") + F.lit(2), F.size("ts"))
+        ).alias("y"),
     )
+    # r11: close the wedge with ONE semi join against the NUMERICALLY
+    # canonical edge form. Wedge ends satisfy x < y by construction and
+    # each undirected edge exists in exactly one degree orientation, so
+    # the closing edge is present iff (least(s,t), greatest(s,t)) =
+    # (x, y) — the old either-orientation double probe ran the wedge
+    # generation (the dominant term) TWICE via unionAll (exchange reuse
+    # does not cover a unionAll of two distinct semi-join plans). The
+    # shuffle_hash hint builds the per-partition hash on the |E|-row
+    # canonical side instead of SORTING the |wedges|-row stream for a
+    # merge join — wedges outnumber edges ~30x here (346M vs 11M at
+    # sf1). Interleaved same-session A/B at sf1 (this box's ambient
+    # throughput drifts minute-to-minute, so only interleaved min-of-N
+    # counts): old shape 212/114/46.5 s vs this shape 54/18.6/18.3 s —
+    # min-of-3 2.5x, first-run 3.9x. No broadcast: the edge list grows
+    # linearly with scale, so a broadcast hint here would break at the
+    # 8 GB limit — the hash build is per-partition and scales with the
+    # shuffle partition count.
+    o_canon = oriented.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    closed = wedges.join(o_canon.hint("shuffle_hash"), ["x", "y"], "left_semi")
     tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     summary = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
