@@ -717,11 +717,15 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times (sig a/b + sets a/b as before) — halves the per-pair join
     # builds. `common` is materialized as its OWN projection column
     # before the ratio: exact_jaccard references it twice inside pround
-    # (which itself embeds its argument ~4×), so the un-hoisted form
-    # evaluated the array_intersect up to 8× per pair (the same
-    # shared-fold finding with_pair_cosine fixed for cosines; measured
-    # here: sf1 29-34 s → 20 s cold / 5.5 s warm over the same 266,223
-    # pairs). CollapseProject keeps multi-referenced
+    # (which itself embeds its argument ~4×), so the un-hoisted tree
+    # carried the array_intersect up to 8× per pair (the shared-fold
+    # shape with_pair_cosine fixed for cosines). Honest measurement
+    # (interleaved same-session A/B at sf1, 266,223 pairs): warm
+    # min-of-3 is a WASH (4.2 vs 4.1 s — whole-stage codegen's
+    # subexpression elimination already deduped the intersect in the
+    # old tree); the win is first-run only (15.6 vs 4.6 s, less codegen
+    # over 4 fewer join branches) plus plan hygiene for interpreted
+    # fallback paths. CollapseProject keeps multi-referenced
     # non-cheap expressions split, so the hoist survives optimization.
     per_doc = sig.join(
         docs.select(
