@@ -39,16 +39,17 @@ _CHECK_FIRST = [
     # helper) — rotated in anyway per the r10 ADVICE; the v2 manifest
     # (helper-closure hashes) closes that hole for future rounds.
     # Positions 18-19: dedup-module siblings whose file changed
-    # (helper-edit triage rotated in). Position 20:
-    # part_copurchase_triangles — continuation-session perf rewrite
-    # (canonical wedge-close probe), must sit in-window. Positions
-    # 21-49: 29 of the 34 remaining r4-verified queries — the stalest
-    # evidence block, computed programmatically from
-    # CORRECTNESS_r01..r10 (latest all-green round per query). The 5
-    # r4 stragglers deferred to r12 for capacity:
-    # dense_region_status_grid, full_outer_nation_coverage,
+    # (helper-edit triage rotated in). Positions 20-21: continuation-
+    # session perf rewrites (part_copurchase_triangles canonical
+    # wedge-close probe; part_kcore_decomposition shrinking-set peel),
+    # must sit in-window. Positions 22-49: 28 of the 34 remaining
+    # r4-verified queries — the stalest evidence block, computed
+    # programmatically from CORRECTNESS_r01..r10 (latest all-green
+    # round per query). The 6 r4 stragglers deferred to r12 for
+    # capacity: dense_region_status_grid, full_outer_nation_coverage,
     # percentile_disc_order_value, unpivot_part_measures,
-    # percentiles_order_value (displaced by the triangles rewrite). ---
+    # percentiles_order_value and window_running_revenue (displaced by
+    # the two perf rewrites). ---
     "dedup_lsh_bucket_census",  # NEW (r11): cap companion report
     "dedup_minhash_lsh",
     "dedup_connected_groups",
@@ -72,6 +73,7 @@ _CHECK_FIRST = [
     "dedup_incremental_delta",
     # --- continuation-session perf rewrites (must sit in-window) ---
     "part_copurchase_triangles",  # single canonical wedge-close probe
+    "part_kcore_decomposition",  # peel the shrinking edge set
     # --- 30 queries last driver-verified in ROUND 4 ---
     "dedup_exact",
     "q6_forecast_revenue",

@@ -227,10 +227,21 @@ def part_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = deg0.select("node")
 
-    def peel(alive: DataFrame):
+    def peel(core_edges: DataFrame, alive: DataFrame):
         au = alive.select(F.col("node").alias("u"))
         av = alive.select(F.col("node").alias("v"))
-        e = edges.join(au, "u").join(av, "v")
+        # r11: peel the SHRINKING edge set, not the full one. alive is
+        # monotone decreasing, so edges-among-alive_{r+1} is a subset of
+        # edges-among-alive_r — joining round r's materialized core
+        # edges is equivalent to re-joining the original |E| every
+        # round, and turns the per-round cost from O(rounds·|E|) into
+        # O(Σ|e_r|). The checkpoint makes each round read the prior
+        # round's materialized survivors instead of re-deriving the
+        # join chain (interleaved sf1 A/B: 61 → 43 s min-of-2 on a
+        # graph whose 76-core retains 90% of edges; the saturated-graph
+        # case where the core collapses is where the subset iteration
+        # is structural).
+        e = core_edges.join(au, "u").join(av, "v").localCheckpoint()
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
@@ -248,11 +259,11 @@ def part_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = [alive]
     core_edges = edges
     for _ in range(_KCORE_ROUNDS):
-        core_edges, alive = peel(alive)
         # truncate lineage each round (the connected_components
         # precedent) -- without this the unrolled plan re-derives round
         # r's joins once per downstream aggregate and the optimizer
         # chokes on the deeply-chained tree
+        core_edges, alive = peel(core_edges, alive)
         alive = alive.localCheckpoint()
         history.append(alive)
     n0 = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
