@@ -390,6 +390,35 @@ def test_triangle_census_no_cartesian(spark, sf_small):
             assert "Cross" in ln, ln
 
 
+def test_triangle_census_single_close_probe(spark, sf_small):
+    """The r11 rewrite closes every wedge with ONE LeftSemi probe of
+    the numerically-canonical edge form; a second semi join means the
+    either-orientation double probe (which runs wedge generation twice
+    via unionAll) regressed back in. Wedges must also come from the
+    posexplode'd adjacency arrays, not a self-join — the plan carries
+    exactly one Generate explode over the sorted suffix slice."""
+    plan = _plan(spark, "part_copurchase_triangles", sf_small)
+    assert plan.count("LeftSemi") == 1, plan
+    gens = [ln for ln in plan.splitlines() if "Generate explode(slice(" in ln]
+    assert len(gens) == 1, plan
+
+
+def test_kcore_edge_set_shrinks_not_rejoins(spark, sf_small):
+    """The r11 peel iterates on the SHRINKING checkpointed edge set:
+    each round's plan must read the prior round's materialized RDD
+    (Scan ExistingRDD), not re-derive the original 11M-edge
+    co-purchase join. With 12 rounds the executed plan therefore
+    carries one checkpoint scan per round-edge/alive pair; the
+    original lineitem self-join appears only beneath the FIRST
+    checkpoint, so the final stitched plan contains NO lineitem file
+    scan at all (every branch hangs off checkpoint scans)."""
+    plan = _plan(spark, "part_kcore_decomposition", sf_small)
+    assert "ExistingRDD" in plan, plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "lineitem" in ln]
+    assert not scans, plan
+
+
 def test_chi2_margin_joins_are_broadcast(spark, sf_small):
     """Row/column margins and the grand total are tiny aggregates of the
     contingency table — they must broadcast back, never shuffle it."""
