@@ -255,20 +255,24 @@ def part_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return e, survivors
 
+    # only the final two alive-frames feed the convergence check —
+    # holding every round's checkpointed |V|-row frame (the old
+    # `history` list) just pins 12 RDDs in block-manager memory for
+    # nothing at scale
     alive = nodes
-    history = [alive]
+    prev_alive = nodes
     core_edges = edges
     for _ in range(_KCORE_ROUNDS):
         # truncate lineage each round (the connected_components
         # precedent) -- without this the unrolled plan re-derives round
         # r's joins once per downstream aggregate and the optimizer
         # chokes on the deeply-chained tree
+        prev_alive = alive
         core_edges, alive = peel(core_edges, alive)
         alive = alive.localCheckpoint()
-        history.append(alive)
     n0 = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    nc = history[-1].agg(F.count(F.lit(1)).cast("long").alias("n_core_nodes"))
-    np_ = history[-2].agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
+    nc = alive.agg(F.count(F.lit(1)).cast("long").alias("n_core_nodes"))
+    np_ = prev_alive.agg(F.count(F.lit(1)).cast("long").alias("n_prev"))
     ne = core_edges.agg(F.count(F.lit(1)).cast("long").alias("n_core_edges_in"))
     return (
         kdf.crossJoin(F.broadcast(n0))
