@@ -39,17 +39,20 @@ _CHECK_FIRST = [
     # helper) — rotated in anyway per the r10 ADVICE; the v2 manifest
     # (helper-closure hashes) closes that hole for future rounds.
     # Positions 18-19: dedup-module siblings whose file changed
-    # (helper-edit triage rotated in). Positions 20-21: continuation-
+    # (helper-edit triage rotated in). Positions 20-23: continuation-
     # session perf rewrites (part_copurchase_triangles canonical
-    # wedge-close probe; part_kcore_decomposition shrinking-set peel),
-    # must sit in-window. Positions 22-49: 28 of the 34 remaining
-    # r4-verified queries — the stalest evidence block, computed
-    # programmatically from CORRECTNESS_r01..r10 (latest all-green
-    # round per query). The 6 r4 stragglers deferred to r12 for
-    # capacity: dense_region_status_grid, full_outer_nation_coverage,
-    # percentile_disc_order_value, unpivot_part_measures,
-    # percentiles_order_value and window_running_revenue (displaced by
-    # the two perf rewrites). ---
+    # wedge-close probe; part_kcore_decomposition shrinking-set peel;
+    # copurchase_part_similarity checkpointed lineage;
+    # shingle_df_spectrum map-side dedup), must sit in-window.
+    # Positions 24-49: 26 of the 34 remaining r4-verified queries —
+    # the stalest evidence block, computed programmatically from
+    # CORRECTNESS_r01..r10 (latest all-green round per query). The 8
+    # r4 stragglers deferred to r12 for capacity:
+    # dense_region_status_grid, full_outer_nation_coverage,
+    # percentile_disc_order_value, unpivot_part_measures, plus
+    # percentiles_order_value, window_running_revenue, agg_cube_flags
+    # and pivot_status_by_segment (displaced by the four perf
+    # rewrites). ---
     "dedup_lsh_bucket_census",  # NEW (r11): cap companion report
     "dedup_minhash_lsh",
     "dedup_connected_groups",
@@ -74,6 +77,8 @@ _CHECK_FIRST = [
     # --- continuation-session perf rewrites (must sit in-window) ---
     "part_copurchase_triangles",  # single canonical wedge-close probe
     "part_kcore_decomposition",  # peel the shrinking edge set
+    "copurchase_part_similarity",  # checkpointed edge lineage
+    "shingle_df_spectrum",  # map-side per-doc shingle dedup
     # --- 30 queries last driver-verified in ROUND 4 ---
     "dedup_exact",
     "q6_forecast_revenue",

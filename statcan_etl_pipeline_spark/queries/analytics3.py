@@ -924,8 +924,10 @@ ORDER BY part_x, part_y
 """,
 )
 def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = _copurchase_degrees(edges)
+    # r11: the edges lineage (lineitem self-join) fed four branches
+    # (adj, deg-cap, dx, dy) — lazily checkpointed, built once.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
     adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -938,6 +940,18 @@ def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(degree²), and the adj set isn't shuffled twice for a join.
     # Identical pair multiset to the a.nbr < b.nbr self-join (the
     # oracle keeps that formulation).
+    #
+    # r11 NOTE (measured, not shipped): a degree-ratio prune inside the
+    # emission — jaccard <= min(deg)/max(deg), so >10x-degree-apart
+    # pairs can never pass the 0.1 filter — was built and interleave-
+    # A/B'd at sf1: old 392/157 s vs pruned 305/190 s (mixed, no warm
+    # win). This graph's degrees are too uniform for the ratio test to
+    # bite (mean degree ~110 over 200k parts), and the (nbr, d) struct
+    # arrays tax every emitted element. The census result that matters:
+    # the 1.24B-row wedge mass yields ZERO qualifying pairs at sf1
+    # (common >= 3 AND jaccard >= 0.1 go empty as the graph sparsifies)
+    # — this is the registry's by-design heavy all-pairs set-similarity
+    # query at a production-hostile tau of 0.1.
     nbrs = small.groupBy("node").agg(F.array_sort(F.collect_list("nbr")).alias("ns"))
     heads = nbrs.select(
         F.explode(

@@ -58,10 +58,16 @@ def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", norm_text("text").alias("norm")
     )
+    # r11: per-(doc, shingle) dedup happens MAP-SIDE via array_distinct
+    # before the explode — identical semantics to exploding then
+    # .distinct() (the dedup key was (doc_id, s) and every row of one
+    # doc's array is in one task), but it removes a full shuffle of the
+    # ~100M-row exploded shingle stream (sf1: the .distinct() exchange
+    # was the single widest in the plan); groupBy(s) is now the only
+    # wide exchange.
     sh = (
-        docs.withColumn("shingles", char_shingles("norm", 5))
+        docs.withColumn("shingles", F.array_distinct(char_shingles("norm", 5)))
         .select("doc_id", F.explode("shingles").alias("s"))
-        .distinct()
     )
     df = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # integer bit-length (length(bin(df)) - 1), mirroring the oracle: no
