@@ -61,6 +61,20 @@ LLM_PIPELINE = [
     "corpus_quality_filter",
 ]
 
+# Third family (round 11 continuation): the iterative/graph operators,
+# benched as `graph_pipeline_total` — triangles, k-core, PageRank and
+# LPA all iterate over the shared co-purchase graph and carry the
+# round-11 plan rewrites (canonical wedge close, shrinking-set peel);
+# without a bench family their regressions were invisible between
+# rounds (the sf1 census caught copurchase_part_similarity only by
+# sweeping the whole registry).
+GRAPH_PIPELINE = [
+    "part_copurchase_triangles",
+    "part_kcore_decomposition",
+    "graph_pagerank",
+    "part_label_propagation_communities",
+]
+
 REPS = 3
 
 
@@ -93,11 +107,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     head = [n for n in HEADLINE if n in QUERIES]
     llm = [n for n in LLM_PIPELINE if n in QUERIES]
+    graph = [n for n in GRAPH_PIPELINE if n in QUERIES]
     # warm the JVM + parquet footers once so rep 0 measures the plan,
     # not session startup
     _run(spark, head[0], sf_dir)
     timings, spread, rep_totals = _bench_family(spark, head, sf_dir)
     llm_t, llm_spread, llm_rep_totals = _bench_family(spark, llm, sf_dir)
+    g_t, g_spread, g_rep_totals = _bench_family(spark, graph, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -113,6 +129,10 @@ def main() -> None:
                 "llm_queries": llm_t,
                 "llm_spread": llm_spread,
                 "llm_rep_totals": llm_rep_totals,
+                "graph_pipeline_total": round(sum(g_t.values()), 3),
+                "graph_queries": g_t,
+                "graph_spread": g_spread,
+                "graph_rep_totals": g_rep_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

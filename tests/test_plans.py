@@ -140,6 +140,11 @@ def test_bench_headline_queries_all_registered():
     missing_llm = [n for n in bench.LLM_PIPELINE if n not in QUERIES]
     assert not missing_llm, f"llm bench names drifted: {missing_llm}"
     assert len(bench.LLM_PIPELINE) == 6
+    # r11 continuation: the graph/iterative family must stay registered
+    # and comparable
+    missing_g = [n for n in bench.GRAPH_PIPELINE if n not in QUERIES]
+    assert not missing_g, f"graph bench names drifted: {missing_g}"
+    assert len(bench.GRAPH_PIPELINE) == 4
     assert bench.REPS >= 3  # single-shot timing is a noise instrument
 
 
