@@ -39,19 +39,20 @@ _CHECK_FIRST = [
     # helper) — rotated in anyway per the r10 ADVICE; the v2 manifest
     # (helper-closure hashes) closes that hole for future rounds.
     # Positions 18-19: dedup-module siblings whose file changed
-    # (helper-edit triage rotated in). Positions 20-23: continuation-
+    # (helper-edit triage rotated in). Positions 20-24: continuation-
     # session perf rewrites (part_copurchase_triangles canonical
     # wedge-close probe; part_kcore_decomposition shrinking-set peel;
     # copurchase_part_similarity checkpointed lineage;
-    # shingle_df_spectrum map-side dedup), must sit in-window.
-    # Positions 24-49: 26 of the 34 remaining r4-verified queries —
-    # the stalest evidence block, computed programmatically from
-    # CORRECTNESS_r01..r10 (latest all-green round per query). The 8
-    # r4 stragglers deferred to r12 for capacity:
-    # dense_region_status_grid, full_outer_nation_coverage,
-    # percentile_disc_order_value, unpivot_part_measures, plus
-    # percentiles_order_value, window_running_revenue, agg_cube_flags
-    # and pivot_status_by_segment (displaced by the four perf
+    # shingle_df_spectrum map-side dedup; knn_label_eval
+    # with_pair_cosine), must sit in-window. Positions 25-49: 25 of
+    # the 34 remaining r4-verified queries — the stalest evidence
+    # block, computed programmatically from CORRECTNESS_r01..r10
+    # (latest all-green round per query). The 9 r4 stragglers deferred
+    # to r12 for capacity: dense_region_status_grid,
+    # full_outer_nation_coverage, percentile_disc_order_value,
+    # unpivot_part_measures, plus percentiles_order_value,
+    # window_running_revenue, agg_cube_flags, pivot_status_by_segment
+    # and semi_join_suppliers_with_returns (displaced by the five perf
     # rewrites). ---
     "dedup_lsh_bucket_census",  # NEW (r11): cap companion report
     "dedup_minhash_lsh",
@@ -79,6 +80,7 @@ _CHECK_FIRST = [
     "part_kcore_decomposition",  # peel the shrinking edge set
     "copurchase_part_similarity",  # checkpointed edge lineage
     "shingle_df_spectrum",  # map-side per-doc shingle dedup
+    "knn_label_eval",  # with_pair_cosine fold materialization
     # --- 30 queries last driver-verified in ROUND 4 ---
     "dedup_exact",
     "q6_forecast_revenue",

@@ -225,7 +225,7 @@ ORDER BY true_label
 """,
 )
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import dot_fixed
+    from ..functions.vectors import dot_fixed, with_pair_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     # precompute each side's self-dot ONCE (per row, not per pair) —
@@ -245,20 +245,19 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("nlabel"),
         dot_fixed("embedding", "embedding").alias("nnorm"),
     )
-    dab = dot_fixed("qe", "embedding") / F.lit(1e9)
-    daa = F.col("qnorm") / F.lit(1e9)
-    dbb = F.col("nnorm") / F.lit(1e9)
-    cos = F.when((daa > 0) & (dbb > 0), dab / (F.sqrt(daa) * F.sqrt(dbb)))
+    # r11 continuation: the pairwise cosine rides with_pair_cosine like
+    # the rest of the pair-cosine family — pround embedded the cross-
+    # dot fold 3-4x per (query, neighbor) pair in the old inline form;
+    # the fold columns are materialized once per pair, bit-identical.
     wrk = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    scored = (
+    joined = (
         nb.join(F.broadcast(ev), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "true_label",
-            "nlabel",
-            "vec_id",
-            pround(cos, 6).alias("cos"),
-        )
+        .withColumn("daa", F.col("qnorm") / F.lit(1e9))
+        .withColumn("dbb", F.col("nnorm") / F.lit(1e9))
+    )
+    scored = (
+        with_pair_cosine(joined, "qe", "embedding", "cos", daa="daa", dbb="dbb")
+        .select("qid", "true_label", "nlabel", "vec_id", "cos")
         .withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= _KNN_K)
     )
