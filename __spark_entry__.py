@@ -28,100 +28,91 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- ROUND 11 WINDOW. Positions 0-17: every query whose source or
-    # oracle changed this round (scripts/check_window.py enforces) —
-    # the six r10-verdict perf items (PQ/IVFPQ self-dot hoist,
-    # with_pair_cosine fold materialization, LSH_BUCKET_CAP threading
-    # through the four uncapped lsh_candidate_pairs consumers,
-    # star-components switch, banded embedding-LSH rewrite) plus the
-    # NEW dedup_lsh_bucket_census. dedup_embedding_groups' v1 hash did
-    # not move (one-line body over the rewritten _embedding_lsh_pairs
-    # helper) — rotated in anyway per the r10 ADVICE; the v2 manifest
-    # (helper-closure hashes) closes that hole for future rounds.
-    # Positions 18-19: dedup-module siblings whose file changed
-    # (helper-edit triage rotated in). Positions 20-24: continuation-
-    # session perf rewrites (part_copurchase_triangles canonical
-    # wedge-close probe; part_kcore_decomposition shrinking-set peel;
-    # copurchase_part_similarity checkpointed lineage;
-    # shingle_df_spectrum map-side dedup; knn_label_eval
-    # with_pair_cosine), must sit in-window. Positions 25-49: 25 of
-    # the 34 remaining r4-verified queries — the stalest evidence
-    # block, computed programmatically from CORRECTNESS_r01..r10
-    # (latest all-green round per query). The 9 r4 stragglers deferred
-    # to r12 for capacity: dense_region_status_grid,
-    # full_outer_nation_coverage, percentile_disc_order_value,
-    # unpivot_part_measures, plus percentiles_order_value,
-    # window_running_revenue, agg_cube_flags, pivot_status_by_segment
-    # and semi_join_suppliers_with_returns (displaced by the five perf
-    # rewrites). ---
-    "dedup_lsh_bucket_census",  # NEW (r11): cap companion report
-    "dedup_minhash_lsh",
-    "dedup_connected_groups",
-    "dedup_cluster_size_census",
-    "dedup_token_savings_by_source",
-    "minhash_jaccard_calibration",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_embedding_groups",
-    "knn_bruteforce_cosine",
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "ann_pq_cosine",
-    "ann_ivfpq_cosine",
-    "ann_sq_cosine",
-    "ann_range_search",
-    "hard_negative_mining",
-    "embedding_matryoshka_recall",
-    # --- dedup-module siblings (file changed; bodies/helpers did not) ---
-    "dedup_ngram_jaccard",
-    "dedup_incremental_delta",
-    # --- continuation-session perf rewrites (must sit in-window) ---
-    "part_copurchase_triangles",  # single canonical wedge-close probe
-    "part_kcore_decomposition",  # peel the shrinking edge set
-    "copurchase_part_similarity",  # checkpointed edge lineage
-    "shingle_df_spectrum",  # map-side per-doc shingle dedup
-    "knn_label_eval",  # with_pair_cosine fold materialization
-    # --- 30 queries last driver-verified in ROUND 4 ---
-    "dedup_exact",
-    "q6_forecast_revenue",
-    "topk_customers_by_revenue",
-    "cdc_orders_diff",
-    "contamination_check",
-    "doc_token_chunks",
-    "doc_greedy_packing",
-    "events_week4_retention",
-    "events_json_extract",
-    "q2_top_supplier_per_part",
-    "q4_late_shipment_priority",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q22_wealthy_inactive",
-    "q7_volume_shipping",
-    "anti_join_customers_without_orders",
-    "semi_join_suppliers_with_returns",
-    "distinct_mktsegments",
+    # --- ROUND 12 WINDOW. Positions 0-8: the 9 queries whose latest
+    # driver evidence is ROUND 4 — the stalest block (verdict item 1),
+    # computed programmatically from CORRECTNESS_r01..r11 (latest
+    # all-green round per query). ---
     "agg_cube_flags",
-    "pivot_status_by_segment",
-    "window_running_revenue",
-    "percentiles_order_value",
-    # --- everything below position 50 is driver-green from r4-r10;
-    # next-stalest first so future rotations read top-down. The
-    # registry fills any name not listed here in QUERIES order. ---
     "dense_region_status_grid",
+    "distinct_mktsegments",
     "full_outer_nation_coverage",
     "percentile_disc_order_value",
+    "percentiles_order_value",
+    "pivot_status_by_segment",
     "unpivot_part_measures",
-    "benford_order_totals",
+    "window_running_revenue",
+    # --- Positions 9-11: the three queries whose source changed this
+    # round (scripts/check_window.py enforces in-window): the banded
+    # candidates-then-verify rewrite of copurchase_part_similarity
+    # (verdict item 2), the k-core early-exit + per-round checkpoint
+    # release (verdict item 3 + ADVICE), and the brute-cosine
+    # structural input guard (verdict item 4). ---
+    "copurchase_part_similarity",
+    "part_kcore_decomposition",
+    "dedup_embedding_cosine",
+    # --- Positions 12-49: 38 of the 42 queries last driver-verified in
+    # ROUND 5 (next-stalest block). The four spark4.py r5 queries
+    # displaced by the three changed-query slots above are DEFERRED to
+    # r13 and listed first below position 50: events_variant_stats,
+    # pipe_syntax_priority_summary, udtf_token_positions,
+    # group_by_all_revenue. ---
     "abc_part_classification",
+    "asof_join_with_tolerance",
+    "benford_order_totals",
+    "chi2_segment_priority",
+    "copurchase_degree_distribution",
+    "corpus_length_trim",
+    "corpus_mixture_resample",
+    "corpus_source_report",
+    "customer_ltv_cohort",
+    "doc_global_shuffle",
+    "doc_greedy_packing_sharded",
+    "doc_language_confusion",
+    "doc_simpson_diversity",
+    "doc_train_val_split",
+    "doc_unigram_rarity",
+    "embedding_centroids_by_label",
+    "embedding_kmeans",
+    "events_cumulative_unique_users",
+    "events_daily_mad_anomalies",
+    "events_daily_trend",
+    "events_interarrival_stats",
+    "events_moving_corr_7d",
+    "events_strict_funnel_pattern",
+    "events_user_transitions",
+    "funnel_time_to_convert",
+    "gini_customer_revenue",
+    "graph_pagerank",
+    "orders_open_intervals_daily",
+    "orders_price_bands",
+    "pareto_frontier_parts",
+    "pii_scan_tables",
+    "session_duration_histogram",
+    "statcan_interpolate_linear",
+    "statcan_seasonal_decompose",
+    "supplier_hhi_by_nation",
+    "supplier_share_of_nation",
+    "top_ngrams_per_lang",
+    "weighted_median_price_by_brand",
+    # --- everything below position 50 is driver-green from r5-r11;
+    # next-stalest first so future rotations read top-down: the four
+    # deferred r5s, then the r6 block. ---
+    "events_variant_stats",
+    "pipe_syntax_priority_summary",
+    "udtf_token_positions",
+    "group_by_all_revenue",
+    "anova_order_value_by_priority",
+    "brand_return_rate_wilson",
+    "corpus_bpe_merges",
+    "corpus_dataset_card",
+    "doc_feature_hash_embedding",
+    "doc_length_powerlaw_by_source",
+    "embedding_dim_stats",
+    "embedding_label_outliers",
+    "embedding_pca_top_component",
+    "embedding_sq_error_curve",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

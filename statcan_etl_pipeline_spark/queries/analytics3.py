@@ -881,24 +881,48 @@ def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Co-purchase part similarity (round 6): neighborhood Jaccard between
-# part pairs — "customers who bought X also bought Y", the item-item
-# collaborative-filtering primitive. Common-neighbor counts are the
-# full wedge enumeration (cost Σ_z C(d_z, 2), the exact algorithm's
-# lower bound); hub centers with degree > _SIM_HUB_CAP are dropped
-# before pair generation (mirrored in the oracle) — a promotional SKU
-# in 10⁶ orders would otherwise emit ~5·10¹¹ pairs while carrying ~no
-# similarity signal, the same rationale as jaccard_pairs' hot-shingle
-# cap (max degree at sf0.1 is 222, so test SFs are unaffected). The
-# report keeps pairs with common ≥ 3 and Jaccard ≥ 0.1.
+# Co-purchase part similarity: neighborhood Jaccard between part pairs —
+# "customers who bought X also bought Y", the item-item collaborative-
+# filtering primitive. Hub centers with degree > _SIM_HUB_CAP are
+# dropped before candidate generation (mirrored in the oracle) — a
+# promotional SKU in 10⁶ orders would otherwise dominate every part's
+# neighbor set while carrying ~no similarity signal. The report keeps
+# pairs with common ≥ 3 and Jaccard ≥ 0.1.
+#
+# r12 REWRITE (verdict item 2): the exact wedge enumeration (cost
+# Σ_z C(d_z, 2) — 1.24B emitted rows / 370 s at sf1 for ZERO output
+# rows) is replaced by the repo's standard candidates-then-verify
+# shape: MinHash signatures over each part's (hub-capped) neighbor set,
+# banded LSH candidate pairs in density-capped buckets
+# (operators/dedup.py machinery — same md5-portable minhash the
+# dedup_minhash_lsh oracle replays), then EXACT common/Jaccard verify
+# on candidates only via array_intersect of the two adjacency arrays.
+# Wedge mass Σ C(d,2) grows superlinearly with density; candidate mass
+# is bounded per bucket at C(cap, 2) — the formulation that survives
+# 100×. Banding parameters are sized for this query's production-
+# hostile τ=0.1: 24 single-row bands give P(candidate) = 1-(1-s)^24 ≈
+# 0.93 at s=0.1 and ≈1.0 for s ≥ 0.2 (DuckDB sweep, r12: recall vs the
+# exact wedge = 19879/19899 at sf0.001, 87/88 at sf0.01 — pinned in
+# tests/test_copurchase_banded.py against the in-repo wedge audit twin
+# below). The oracle mirrors the banding EXACTLY, so driver parity
+# holds at every SF regardless of recall.
 # ---------------------------------------------------------------------------
 
 _SIM_HUB_CAP = 10_000
+_SIM_N_HASHES = 24  # 24 bands × 1 row: recall ≈ 0.93 at jaccard 0.1
+_SIM_BAND_ROWS = 1
+_SIM_BUCKET_CAP = 256  # per-bucket pair fan-out ≤ C(256, 2) = 32 640
 
 
-@query(
-    "copurchase_part_similarity",
-    oracle=f"""
+def _copurchase_sim_oracle() -> str:
+    from ..operators.dedup import _mh_expr
+
+    mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(_SIM_N_HASHES))
+    band_sel = " UNION ALL ".join(
+        f"SELECT part, {b} AS band, md5(mh_{b}) AS key FROM sig"
+        for b in range(_SIM_N_HASHES)
+    )
+    return f"""
 WITH {_EDGES_SQL}, adj AS (
   SELECT u AS node, v AS nbr FROM edges
   UNION ALL
@@ -906,10 +930,29 @@ WITH {_EDGES_SQL}, adj AS (
 ), small AS (
   SELECT a.node, a.nbr FROM adj a JOIN deg ON deg.node = a.node
   WHERE deg.d <= {_SIM_HUB_CAP}
+), shing AS (
+  SELECT nbr AS part, CAST(node AS VARCHAR) AS sh FROM small
+), sig AS (
+  SELECT part, {mh} FROM shing GROUP BY part
+), bands AS (
+  {band_sel}
+), cold AS (
+  -- band-bucket cap mirrored from operators/dedup.py:lsh_candidate_pairs
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {_SIM_BUCKET_CAP}
+), kept AS (
+  SELECT b.part, b.band, b.key
+  FROM bands b JOIN cold c ON b.band = c.band AND b.key = c.key
+), cand AS (
+  SELECT DISTINCT a.part AS part_x, b.part AS part_y
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.part < b.part
 ), common AS (
-  SELECT a.nbr AS part_x, b.nbr AS part_y, CAST(count(*) AS BIGINT) AS common
-  FROM small a JOIN small b ON a.node = b.node AND a.nbr < b.nbr
-  GROUP BY part_x, part_y
+  SELECT c.part_x, c.part_y, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN small sa ON sa.nbr = c.part_x
+  JOIN small sb ON sb.nbr = c.part_y AND sb.node = sa.node
+  GROUP BY c.part_x, c.part_y
 )
 SELECT part_x, part_y, common,
        dx.d AS deg_x, dy.d AS deg_y,
@@ -921,11 +964,89 @@ JOIN deg dy ON dy.node = part_y
 WHERE common >= 3
   AND (CAST(common AS DOUBLE) / CAST(dx.d + dy.d - common AS DOUBLE)) >= 0.1
 ORDER BY part_x, part_y
-""",
-)
+"""
+
+
+@query("copurchase_part_similarity", oracle=_copurchase_sim_oracle())
 def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r11: the edges lineage (lineitem self-join) fed four branches
-    # (adj, deg-cap, dx, dy) — lazily checkpointed, built once.
+    # r11: the edges lineage (lineitem self-join) fed four branches —
+    # lazily checkpointed, built once. r12: `small` feeds the minhash
+    # path AND the adjacency-array verify path, so it is lazily
+    # checkpointed too (the banded index inside lsh_candidate_pairs
+    # checkpoints itself).
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    small = adj.join(
+        deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node"
+    ).localCheckpoint(eager=False)
+    # each part's "document" is its hub-capped neighbor set; shingles
+    # are the neighbor ids rendered as strings (matches the oracle's
+    # CAST(node AS VARCHAR)); minhash + banding reuse the portable
+    # md5 machinery shared with dedup_minhash_lsh
+    shingled = small.select(
+        F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
+    )
+    sig = minhash_signature(shingled, _SIM_N_HASHES)
+    cand = lsh_candidate_pairs(
+        sig, _SIM_N_HASHES, _SIM_BAND_ROWS, _SIM_BUCKET_CAP
+    ).select(F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y"))
+    # EXACT verify on candidates only: |N(x) ∩ N(y)| via array_intersect
+    # of the two (hub-capped) adjacency arrays — per-row memory is
+    # O(deg_x + deg_y), bounded by _SIM_HUB_CAP; no wedge stream exists
+    # anywhere in the plan
+    sets = small.groupBy("nbr").agg(F.collect_list("node").alias("ns"))
+    verified = (
+        cand.join(sets.select(F.col("nbr").alias("part_x"), F.col("ns").alias("ns_x")),
+                  "part_x")
+        .join(sets.select(F.col("nbr").alias("part_y"), F.col("ns").alias("ns_y")),
+              "part_y")
+        .select(
+            "part_x",
+            "part_y",
+            F.size(F.array_intersect("ns_x", "ns_y")).cast("long").alias("common"),
+        )
+    )
+    dx = deg.select(F.col("node").alias("part_x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("part_y"), F.col("d").alias("deg_y"))
+    jac = F.col("common").cast("double") / (
+        F.col("deg_x") + F.col("deg_y") - F.col("common")
+    ).cast("double")
+    return (
+        verified.join(dx, "part_x")
+        .join(dy, "part_y")
+        .filter((F.col("common") >= 3) & (jac >= 0.1))
+        .select(
+            "part_x",
+            "part_y",
+            "common",
+            "deg_x",
+            "deg_y",
+            pround(jac, 6).alias("jaccard"),
+        )
+        .orderBy("part_x", "part_y")
+    )
+
+
+def copurchase_wedge_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT wedge-enumeration twin of copurchase_part_similarity —
+    NOT registered; kept as the small-SF audit baseline the banded
+    rewrite's recall is pinned against (tests/test_copurchase_banded.py).
+
+    Cost is the exact algorithm's lower bound Σ_z C(d_z, 2): 1.24B
+    emitted rows / 370 s at sf1 for zero qualifying output rows — the
+    formulation the r12 verdict retired from the registry. Wedges are
+    emitted WITHOUT a self-join: each center's sorted adjacency array
+    (one shuffle of 2|E| rows) explodes into ordered pairs two-stage,
+    so per-row memory stays O(degree), never O(degree²). r11 NOTE
+    (measured, not shipped): a degree-ratio prune — jaccard ≤
+    min(deg)/max(deg) — was interleave-A/B'd at sf1: old 392/157 s vs
+    pruned 305/190 s (mixed, no warm win); this graph's degrees are too
+    uniform for it to bite."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
     adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
@@ -934,24 +1055,6 @@ def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = adj.join(
         deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node"
     )
-    # wedge enumeration WITHOUT a self-join: build each center's sorted
-    # adjacency array (one shuffle of 2|E| rows) and emit ordered pairs
-    # by a two-stage explode — per-row memory stays O(degree), never
-    # O(degree²), and the adj set isn't shuffled twice for a join.
-    # Identical pair multiset to the a.nbr < b.nbr self-join (the
-    # oracle keeps that formulation).
-    #
-    # r11 NOTE (measured, not shipped): a degree-ratio prune inside the
-    # emission — jaccard <= min(deg)/max(deg), so >10x-degree-apart
-    # pairs can never pass the 0.1 filter — was built and interleave-
-    # A/B'd at sf1: old 392/157 s vs pruned 305/190 s (mixed, no warm
-    # win). This graph's degrees are too uniform for the ratio test to
-    # bite (mean degree ~110 over 200k parts), and the (nbr, d) struct
-    # arrays tax every emitted element. The census result that matters:
-    # the 1.24B-row wedge mass yields ZERO qualifying pairs at sf1
-    # (common >= 3 AND jaccard >= 0.1 go empty as the graph sparsifies)
-    # — this is the registry's by-design heavy all-pairs set-similarity
-    # query at a production-hostile tau of 0.1.
     nbrs = small.groupBy("node").agg(F.array_sort(F.collect_list("nbr")).alias("ns"))
     heads = nbrs.select(
         F.explode(

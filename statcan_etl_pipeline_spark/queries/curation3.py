@@ -23,6 +23,16 @@ _DEC = "decimal(38,0)"
 # jaccard hot-shingle df cap: mass in high-df bins is corpus
 # boilerplate, not similarity signal. Linear explode → exact distinct
 # df per shingle → bounded bin census; pure integer arithmetic.
+#
+# r12 NOTE on the r11 map-side-dedup rewrite (ADVICE): array_distinct-
+# before-explode is equivalent to the old explode + .distinct() ONLY
+# because doc_id is unique in `documents` — with duplicate doc_ids the
+# old global distinct would merge the duplicates' shingle rows while
+# the per-row array_distinct would double-count them. The precondition
+# holds by construction (scripts/gen_testdata.py emits arange doc_ids)
+# and is NOT silent: the oracle keeps the global SELECT DISTINCT, so a
+# duplicate doc_id would surface as a driver hash mismatch (verified:
+# oracle parity MATCH at sf0.01), not as silent drift.
 # ---------------------------------------------------------------------------
 
 

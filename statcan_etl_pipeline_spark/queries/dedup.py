@@ -328,6 +328,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (brute force; LSH variant = ann_lsh_cosine)
 # ---------------------------------------------------------------------------
+
+# r12 (verdict): structural input-size guard on the brute O(n²) pair
+# join — the MARKOV_MAX_K precedent (queries/survey.py) applied to
+# corpus size. 25k rows ≈ 3.1·10⁸ pair folds, chosen to ADMIT the sf1
+# audit (n=20,000 → 2·10⁸ folds, measured 178.9 s single-node in
+# SCALING.md) and REFUSE anything larger: past this point the exact
+# all-pairs join is hours-to-impossible and dedup_embedding_lsh is the
+# production path. Audit runs on bigger corpora must opt in explicitly
+# with max_rows=None (or a larger bound) — there is no silent fallback.
+BRUTE_COSINE_MAX_ROWS = 25_000
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -341,17 +353,34 @@ WHERE cosine >= {COS_TAU}
 ORDER BY vec_a, vec_b
 """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_rows: int | None = BRUTE_COSINE_MAX_ROWS
+) -> DataFrame:
     # Brute-force O(n²) — correct baseline and the oracle target for
     # SMALL inputs only. The scale path is dedup_embedding_lsh below:
     # same verify step, but candidates come from LSH buckets instead of
     # an all-pairs join. r10: the two SELF-dot products are hoisted out
     # of the pair join (n folds instead of 2·C(n,2) — bit-identical);
     # r11: the cross-dot is materialized once per pair too
-    # (with_pair_cosine — the rounding wrapper was evaluating it 3×).
+    # (with_pair_cosine — the rounding wrapper was evaluating it 3×);
+    # r12: the guard below makes "small inputs only" ENFORCED, not
+    # advisory — nothing structurally stopped this audit baseline from
+    # being pointed at a 100 TB corpus. The count is a parquet
+    # metadata-only scan (no shuffle: counted BEFORE scatter).
     from ..functions.vectors import dot_fixed, with_pair_cosine
 
-    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    if max_rows is not None:
+        n = raw.count()
+        if n > max_rows:
+            raise ValueError(
+                f"dedup_embedding_cosine: {n} embedding rows exceed the "
+                f"brute-force bound ({max_rows}) — the O(n²) pair join "
+                f"({n * (n - 1) // 2} cosine folds) is an audit baseline, "
+                f"not a scale path. Use dedup_embedding_lsh, or pass "
+                f"max_rows explicitly to opt in to a bigger audit."
+            )
+    emb = scatter(spark, raw).select(
         "vec_id",
         "embedding",
         (dot_fixed("embedding", "embedding") / F.lit(1e9)).alias("self_dot"),

@@ -1,0 +1,82 @@
+"""r12: copurchase_part_similarity's banded candidates-then-verify
+rewrite, pinned against the exact wedge-enumeration audit twin, plus
+the structural guards added this round (brute-cosine input bound,
+k-core checkpoint release).
+
+The banded query is DELIBERATELY lossy (MinHash-LSH candidate
+generation at τ=0.1 has sub-unit recall); the driver hash gate proves
+Spark↔DuckDB parity of the banded semantics, while THESE tests prove
+the banded output is an exact subset of the wedge baseline with the
+measured recall floor — the contract that makes retiring the 370 s/sf1
+wedge formulation safe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from statcan_etl_pipeline_spark.registry import QUERIES  # loads all modules
+
+from statcan_etl_pipeline_spark.queries.analytics3 import (  # noqa: E402
+    copurchase_wedge_similarity,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "sf_fixture, recall_floor",
+    [("sf_small", 0.99), ("sf_med", 0.95)],
+)
+def test_banded_subset_and_recall_vs_wedge(spark, request, sf_fixture, recall_floor):
+    """Every banded row reproduces the wedge twin's row EXACTLY (the
+    verify step is exact on candidates — common/deg/jaccard identical),
+    and recall ≥ the pinned floor (measured r12: 19879/19899 = 0.999 at
+    sf0.001, 87/88 = 0.989 at sf0.01 with 24×1 bands, cap 256)."""
+    sf_dir = request.getfixturevalue(sf_fixture)
+    banded = _rows(QUERIES["copurchase_part_similarity"](spark, sf_dir))
+    exact = _rows(copurchase_wedge_similarity(spark, sf_dir))
+    assert banded <= exact, (
+        f"banded rows not in the exact wedge output: "
+        f"{sorted(banded - exact)[:5]}"
+    )
+    assert exact, "wedge baseline unexpectedly empty — recall undefined"
+    recall = len(banded) / len(exact)
+    assert recall >= recall_floor, (len(banded), len(exact), recall)
+
+
+def test_brute_cosine_guard_refuses_oversized_corpus(spark, sf_small):
+    """dedup_embedding_cosine must raise past the documented bound
+    (the MARKOV_MAX_K precedent): the O(n²) join is an audit baseline,
+    never a silent scale path."""
+    with pytest.raises(ValueError, match="brute-force bound"):
+        QUERIES["dedup_embedding_cosine"](spark, sf_small, max_rows=10)
+
+
+def test_brute_cosine_guard_admits_gate_corpora(spark, sf_small):
+    """Gate-SF corpora (500 rows) sit far under the default bound —
+    the guard must not change the registered query's behavior there."""
+    df = QUERIES["dedup_embedding_cosine"](spark, sf_small)
+    assert df.count() > 0
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """_free_local_checkpoint drops exactly the spent checkpoint's
+    blocks (the k-core per-round release) and leaves non-checkpoint
+    frames alone."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.queries.graph import _free_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    ck = spark.range(10_000).withColumn("x", F.col("id") * 2).localCheckpoint()
+    assert jsc.getPersistentRDDs().size() == before + 1
+    _free_local_checkpoint(ck)
+    assert jsc.getPersistentRDDs().size() == before
+    # non-checkpoint frame: no-op, frame stays usable
+    plain = spark.range(100)
+    _free_local_checkpoint(plain)
+    assert plain.count() == 100
