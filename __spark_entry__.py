@@ -41,21 +41,25 @@ _CHECK_FIRST = [
     "pivot_status_by_segment",
     "unpivot_part_measures",
     "window_running_revenue",
-    # --- Positions 9-11: the three queries whose source changed this
-    # round (scripts/check_window.py enforces in-window): the banded
-    # candidates-then-verify rewrite of copurchase_part_similarity
-    # (verdict item 2), the k-core early-exit + per-round checkpoint
-    # release (verdict item 3 + ADVICE), and the brute-cosine
-    # structural input guard (verdict item 4). ---
+    # --- Positions 9-12: the three queries whose source changed this
+    # round (scripts/check_window.py enforces in-window) plus the one
+    # NEW query: the banded candidates-then-verify rewrite of
+    # copurchase_part_similarity (verdict item 2), the k-core
+    # early-exit + per-round checkpoint release (verdict item 3 +
+    # ADVICE), the brute-cosine structural input guard (verdict item
+    # 4), and copurchase_band_census (NEW r12: the banding cap's
+    # no-silent-drop companion, the dedup_lsh_bucket_census
+    # precedent). ---
     "copurchase_part_similarity",
     "part_kcore_decomposition",
     "dedup_embedding_cosine",
-    # --- Positions 12-49: 38 of the 42 queries last driver-verified in
-    # ROUND 5 (next-stalest block). The four spark4.py r5 queries
-    # displaced by the three changed-query slots above are DEFERRED to
-    # r13 and listed first below position 50: events_variant_stats,
+    "copurchase_band_census",
+    # --- Positions 13-49: 37 of the 42 queries last driver-verified in
+    # ROUND 5 (next-stalest block). The five r5 queries displaced by
+    # the changed/new slots above are DEFERRED to r13 and listed first
+    # below position 50: events_variant_stats,
     # pipe_syntax_priority_summary, udtf_token_positions,
-    # group_by_all_revenue. ---
+    # group_by_all_revenue, statcan_seasonal_decompose. ---
     "abc_part_classification",
     "asof_join_with_tolerance",
     "benford_order_totals",
@@ -89,18 +93,18 @@ _CHECK_FIRST = [
     "pii_scan_tables",
     "session_duration_histogram",
     "statcan_interpolate_linear",
-    "statcan_seasonal_decompose",
     "supplier_hhi_by_nation",
     "supplier_share_of_nation",
     "top_ngrams_per_lang",
     "weighted_median_price_by_brand",
     # --- everything below position 50 is driver-green from r5-r11;
-    # next-stalest first so future rotations read top-down: the four
+    # next-stalest first so future rotations read top-down: the five
     # deferred r5s, then the r6 block. ---
     "events_variant_stats",
     "pipe_syntax_priority_summary",
     "udtf_token_positions",
     "group_by_all_revenue",
+    "statcan_seasonal_decompose",
     "anova_order_value_by_priority",
     "brand_return_rate_wilson",
     "corpus_bpe_merges",

@@ -1,7 +1,8 @@
-"""Independent sf1 verification for the 8 queries whose DuckDB oracles
+"""Independent sf1 verification for the 10 queries whose DuckDB oracles
 are infeasible at sf1 (SCALING.md: recursive reach CTEs materialize
 Σ|cluster|², the brute/OR-join pair oracles are O(n²) in DuckDB, the
-unrolled 4-round LPA CTE spills past temp disk).
+unrolled 4-round LPA CTE spills past temp disk, and the r12 copurchase
+banded oracles' 48-column minhash hash-agg spills >65 GB).
 
 Each holdout gets an INDEPENDENT expected-result computation that
 avoids the oracle formulation's blow-up while keeping bit-exact
@@ -26,6 +27,11 @@ construction, so the checkers replicate it in numpy/Python exactly):
 - part_label_propagation_communities: the SAME oracle SQL executed
   round-by-round with materialized temp tables (sequential DuckDB —
   the unrolled single-statement plan is what spilled, not the rounds).
+- copurchase banded family (copurchase_part_similarity,
+  copurchase_band_census — r12): the SAME oracle formulation with
+  materialized stages and the signature aggregate computed in 16
+  hash-partition passes (the single statement's 48-column minhash
+  projection is what spilled, not the algebra).
 
 Usage:
   python scripts/sf1_holdout_check.py [--sf-dir testdata_big/sf1]
@@ -431,7 +437,146 @@ def exp_part_label_propagation_communities(ctx: Ctx) -> pd.DataFrame:
     ).df()
 
 
+# ---------------------------------------------------------------------------
+# copurchase banded family (r12): the registered single-statement
+# oracle spills >65 GB at sf1 — DuckDB's hash agg materializes the
+# 48-column minhash projection of the 44M-row adjacency stream before
+# aggregating. The checker executes the SAME formulation with
+# materialized stages (the LPA round-by-round precedent): `small` and
+# `deg` as temp tables, the signature table built in 16 hash-partition
+# passes (each pass aggregates ≤ 1/16 of the stream), then
+# bands/cap/candidates/verify from the ~200k-row materialized sig.
+# ---------------------------------------------------------------------------
+def _copurchase_stage_tables(ctx: Ctx) -> None:
+    if getattr(ctx, "_copurchase_staged", False):
+        return
+    from statcan_etl_pipeline_spark.operators.dedup import _mh_expr
+    from statcan_etl_pipeline_spark.queries.analytics3 import (
+        _SIM_HUB_CAP,
+        _SIM_N_HASHES,
+    )
+
+    ctx.con.execute(
+        """CREATE TEMP TABLE cop_edges AS
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+    )
+    ctx.con.execute(
+        """CREATE TEMP TABLE cop_deg AS
+SELECT node, CAST(count(*) AS BIGINT) AS d
+FROM (SELECT u AS node FROM cop_edges UNION ALL SELECT v FROM cop_edges)
+GROUP BY node"""
+    )
+    ctx.con.execute(
+        f"""CREATE TEMP TABLE cop_small AS
+SELECT a.node, a.nbr
+FROM (SELECT u AS node, v AS nbr FROM cop_edges
+      UNION ALL SELECT v AS node, u AS nbr FROM cop_edges) a
+JOIN cop_deg ON cop_deg.node = a.node
+WHERE cop_deg.d <= {_SIM_HUB_CAP}"""
+    )
+    mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(_SIM_N_HASHES))
+    ctx.con.execute(
+        "CREATE TEMP TABLE cop_sig AS "
+        f"SELECT nbr AS part, {mh} "
+        "FROM (SELECT nbr, CAST(node AS VARCHAR) AS sh FROM cop_small) "
+        "WHERE 1 = 0 GROUP BY part"
+    )
+    for i in range(16):
+        ctx.con.execute(
+            "INSERT INTO cop_sig "
+            f"SELECT nbr AS part, {mh} "
+            "FROM (SELECT nbr, CAST(node AS VARCHAR) AS sh FROM cop_small "
+            f"      WHERE nbr % 16 = {i}) "
+            "GROUP BY part"
+        )
+    ctx._copurchase_staged = True
+
+
+def _copurchase_bands_sql() -> str:
+    from statcan_etl_pipeline_spark.queries.analytics3 import (
+        _SIM_BAND_ROWS,
+        _SIM_N_HASHES,
+    )
+
+    n_bands = _SIM_N_HASHES // _SIM_BAND_ROWS
+    return " UNION ALL ".join(
+        f"SELECT part, {b} AS band, md5("
+        + " || ".join(f"mh_{b * _SIM_BAND_ROWS + r}" for r in range(_SIM_BAND_ROWS))
+        + ") AS key FROM cop_sig"
+        for b in range(n_bands)
+    )
+
+
+def exp_copurchase_part_similarity(ctx: Ctx) -> pd.DataFrame:
+    from statcan_etl_pipeline_spark.queries.analytics3 import _SIM_BUCKET_CAP
+
+    _copurchase_stage_tables(ctx)
+    df = ctx.con.execute(
+        f"""
+WITH bands AS ({_copurchase_bands_sql()}),
+cold AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {_SIM_BUCKET_CAP}
+), kept AS (
+  SELECT b.part, b.band, b.key
+  FROM bands b JOIN cold c ON b.band = c.band AND b.key = c.key
+), cand AS (
+  SELECT DISTINCT a.part AS part_x, b.part AS part_y
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.part < b.part
+), common AS (
+  SELECT c.part_x, c.part_y, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN cop_small sa ON sa.nbr = c.part_x
+  JOIN cop_small sb ON sb.nbr = c.part_y AND sb.node = sa.node
+  GROUP BY c.part_x, c.part_y
+)
+SELECT part_x, part_y, common, dx.d AS deg_x, dy.d AS deg_y,
+       (CAST(common AS DOUBLE) / CAST(dx.d + dy.d - common AS DOUBLE))
+         AS jaccard_raw
+FROM common
+JOIN cop_deg dx ON dx.node = part_x
+JOIN cop_deg dy ON dy.node = part_y
+WHERE common >= 3
+  AND (CAST(common AS DOUBLE) / CAST(dx.d + dy.d - common AS DOUBLE)) >= 0.1
+ORDER BY part_x, part_y
+"""
+    ).df()
+    df["jaccard"] = pround6(df["jaccard_raw"].to_numpy(np.float64))
+    return df.drop(columns=["jaccard_raw"])
+
+
+def exp_copurchase_band_census(ctx: Ctx) -> pd.DataFrame:
+    from statcan_etl_pipeline_spark.queries.analytics3 import _SIM_BUCKET_CAP
+
+    _copurchase_stage_tables(ctx)
+    return ctx.con.execute(
+        f"""
+WITH bands AS ({_copurchase_bands_sql()}),
+sizes AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+  FROM bands GROUP BY band, key
+),
+census AS (
+  SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+  FROM sizes GROUP BY bucket_size
+)
+SELECT bucket_size, n_buckets,
+       CAST(bucket_size * (bucket_size - 1) / 2 * n_buckets AS BIGINT)
+         AS candidate_pairs,
+       CAST(bucket_size > {_SIM_BUCKET_CAP} AS INT) AS capped
+FROM census
+ORDER BY bucket_size
+"""
+    ).df()
+
+
 HOLDOUTS = {
+    "copurchase_part_similarity": exp_copurchase_part_similarity,
+    "copurchase_band_census": exp_copurchase_band_census,
     "dedup_connected_groups": exp_dedup_connected_groups,
     "dedup_cluster_size_census": exp_dedup_cluster_size_census,
     "dedup_token_savings_by_source": exp_dedup_token_savings_by_source,

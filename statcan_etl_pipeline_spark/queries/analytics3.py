@@ -899,31 +899,49 @@ def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on candidates only via array_intersect of the two adjacency arrays.
 # Wedge mass Σ C(d,2) grows superlinearly with density; candidate mass
 # is bounded per bucket at C(cap, 2) — the formulation that survives
-# 100×. Banding parameters are sized for this query's production-
-# hostile τ=0.1: 24 single-row bands give P(candidate) = 1-(1-s)^24 ≈
-# 0.93 at s=0.1 and ≈1.0 for s ≥ 0.2 (DuckDB sweep, r12: recall vs the
-# exact wedge = 19879/19899 at sf0.001, 87/88 at sf0.01 — pinned in
-# tests/test_copurchase_banded.py against the in-repo wedge audit twin
-# below). The oracle mirrors the banding EXACTLY, so driver parity
-# holds at every SF regardless of recall.
+# 100×. BAND-ROW CHOICE, measured (r12 DuckDB sweep): single-row bands
+# (r=1) are really wedge SAMPLING — P(bucket collision) = jaccard, so a
+# band's bucket is "parts sharing a random common neighbor" and the
+# candidate mass stays a constant fraction of the wedge mass (measured
+# 14.7M kept bucket-pairs at sf0.1 with 24×1 bands — same order as the
+# wedge). TWO-row bands square the background collision probability
+# (P = j², 7·10⁻⁸ for sf1's typical j ≈ 0.0003) — measured 62k kept
+# bucket-pairs at sf0.1 with 24×2 bands, a 236× reduction — at the
+# price of gate-SF recall on this query's production-hostile τ=0.1:
+# 1-(1-j²)^24 ≈ 0.23 at j=0.1 (measured vs the exact wedge twin:
+# 16549/19899 = 0.83 at sf0.001, 22/88 = 0.25 at sf0.01 — floors
+# pinned in tests/test_copurchase_banded.py). That recall trade is the
+# honest shape of LSH below its effective similarity range (the same
+# conclusion as the r11 embedding-LSH refutation); the wedge twin below
+# remains the exact audit for small SFs. The oracle mirrors the
+# banding EXACTLY, so driver parity holds at every SF regardless of
+# recall.
 # ---------------------------------------------------------------------------
 
 _SIM_HUB_CAP = 10_000
-_SIM_N_HASHES = 24  # 24 bands × 1 row: recall ≈ 0.93 at jaccard 0.1
-_SIM_BAND_ROWS = 1
+_SIM_N_HASHES = 48  # 24 bands × 2 rows: P(cand) = 1-(1-j²)^24
+_SIM_BAND_ROWS = 2
 _SIM_BUCKET_CAP = 256  # per-bucket pair fan-out ≤ C(256, 2) = 32 640
 
 
-def _copurchase_sim_oracle() -> str:
+def _copurchase_bands_ctes() -> str:
+    """Shared oracle CTE chain `edges..deg, adj, small, shing, sig,
+    bands` — the banded MinHash index over each part's hub-capped
+    neighbor set, used by both the similarity oracle and the band
+    census oracle (the _mh_pairs_ctes precedent in queries/dedup.py)."""
     from ..operators.dedup import _mh_expr
 
     mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(_SIM_N_HASHES))
+    n_bands = _SIM_N_HASHES // _SIM_BAND_ROWS
     band_sel = " UNION ALL ".join(
-        f"SELECT part, {b} AS band, md5(mh_{b}) AS key FROM sig"
-        for b in range(_SIM_N_HASHES)
+        f"SELECT part, {b} AS band, md5("
+        + " || ".join(
+            f"mh_{b * _SIM_BAND_ROWS + r}" for r in range(_SIM_BAND_ROWS)
+        )
+        + ") AS key FROM sig"
+        for b in range(n_bands)
     )
-    return f"""
-WITH {_EDGES_SQL}, adj AS (
+    return f"""{_EDGES_SQL}, adj AS (
   SELECT u AS node, v AS nbr FROM edges
   UNION ALL
   SELECT v AS node, u AS nbr FROM edges
@@ -936,7 +954,12 @@ WITH {_EDGES_SQL}, adj AS (
   SELECT part, {mh} FROM shing GROUP BY part
 ), bands AS (
   {band_sel}
-), cold AS (
+)"""
+
+
+def _copurchase_sim_oracle() -> str:
+    return f"""
+WITH {_copurchase_bands_ctes()}, cold AS (
   -- band-bucket cap mirrored from operators/dedup.py:lsh_candidate_pairs
   SELECT band, key FROM bands GROUP BY band, key
   HAVING count(*) <= {_SIM_BUCKET_CAP}
@@ -967,13 +990,20 @@ ORDER BY part_x, part_y
 """
 
 
-@query("copurchase_part_similarity", oracle=_copurchase_sim_oracle())
-def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int,
+    band_rows: int,
+    bucket_cap: int,
+) -> DataFrame:
     # r11: the edges lineage (lineitem self-join) fed four branches —
     # lazily checkpointed, built once. r12: `small` feeds the minhash
     # path AND the adjacency-array verify path, so it is lazily
     # checkpointed too (the banded index inside lsh_candidate_pairs
-    # checkpoints itself).
+    # checkpoints itself). Parameterized so the A/B harness can sweep
+    # (n_hashes, band_rows); the registered query pins the constants
+    # the oracle replays.
     from ..operators.dedup import lsh_candidate_pairs, minhash_signature
 
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
@@ -991,10 +1021,10 @@ def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = small.select(
         F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
     )
-    sig = minhash_signature(shingled, _SIM_N_HASHES)
-    cand = lsh_candidate_pairs(
-        sig, _SIM_N_HASHES, _SIM_BAND_ROWS, _SIM_BUCKET_CAP
-    ).select(F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y"))
+    sig = minhash_signature(shingled, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes, band_rows, bucket_cap).select(
+        F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y")
+    )
     # EXACT verify on candidates only: |N(x) ∩ N(y)| via array_intersect
     # of the two (hub-capped) adjacency arrays — per-row memory is
     # O(deg_x + deg_y), bounded by _SIM_HUB_CAP; no wedge stream exists
@@ -1030,6 +1060,67 @@ def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_x", "part_y")
     )
+
+
+@query("copurchase_part_similarity", oracle=_copurchase_sim_oracle())
+def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _banded_similarity(
+        spark, sf_dir, _SIM_N_HASHES, _SIM_BAND_ROWS, _SIM_BUCKET_CAP
+    )
+
+
+# ---------------------------------------------------------------------------
+# Band-bucket census for the copurchase similarity index (r12, NEW) —
+# the no-silent-cap companion the dedup path already has
+# (dedup_lsh_bucket_census): one row per distinct (band, key) bucket
+# size over the part-adjacency MinHash index, with the candidate-pair
+# mass each size class would generate and whether _SIM_BUCKET_CAP
+# excludes it from pair generation. Production runs REPORT the skipped
+# mass instead of trusting that the cap never bites (it never does
+# below sf1: max bucket 140 at sf0.1 with 24×2 bands).
+# ---------------------------------------------------------------------------
+@query(
+    "copurchase_band_census",
+    oracle=f"""
+WITH {_copurchase_bands_ctes()},
+sizes AS (
+  SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+  FROM bands GROUP BY band, key
+),
+census AS (
+  SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+  FROM sizes GROUP BY bucket_size
+)
+SELECT bucket_size, n_buckets,
+       CAST(bucket_size * (bucket_size - 1) / 2 * n_buckets AS BIGINT)
+         AS candidate_pairs,
+       CAST(bucket_size > {_SIM_BUCKET_CAP} AS INT) AS capped
+FROM census
+ORDER BY bucket_size
+""",
+)
+def copurchase_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size census of copurchase_part_similarity's banded
+    MinHash index — same signatures, same bands; sum of
+    candidate_pairs where capped=1 upper-bounds the pairs the cap
+    drops (exact per band, pre-dedup). O(distinct sizes) output."""
+    from ..operators.dedup import lsh_bucket_census, minhash_signature
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    small = adj.join(deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node")
+    sig = minhash_signature(
+        small.select(
+            F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
+        ),
+        _SIM_N_HASHES,
+    )
+    return lsh_bucket_census(
+        sig, _SIM_N_HASHES, _SIM_BAND_ROWS, _SIM_BUCKET_CAP
+    ).orderBy("bucket_size")
 
 
 def copurchase_wedge_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:

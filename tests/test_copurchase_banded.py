@@ -28,13 +28,16 @@ def _rows(df):
 
 @pytest.mark.parametrize(
     "sf_fixture, recall_floor",
-    [("sf_small", 0.99), ("sf_med", 0.95)],
+    [("sf_small", 0.80), ("sf_med", 0.20)],
 )
 def test_banded_subset_and_recall_vs_wedge(spark, request, sf_fixture, recall_floor):
     """Every banded row reproduces the wedge twin's row EXACTLY (the
     verify step is exact on candidates — common/deg/jaccard identical),
-    and recall ≥ the pinned floor (measured r12: 19879/19899 = 0.999 at
-    sf0.001, 87/88 = 0.989 at sf0.01 with 24×1 bands, cap 256)."""
+    and recall ≥ the pinned floor (measured r12 with 24×2-row bands,
+    cap 256: 16549/19899 = 0.83 at sf0.001, 22/88 = 0.25 at sf0.01 —
+    the r=2 banding trades gate-SF recall at this query's
+    production-hostile τ=0.1 for a measured 236× candidate-mass
+    reduction at sf0.1; see the analytics3.py banner)."""
     sf_dir = request.getfixturevalue(sf_fixture)
     banded = _rows(QUERIES["copurchase_part_similarity"](spark, sf_dir))
     exact = _rows(copurchase_wedge_similarity(spark, sf_dir))
@@ -71,11 +74,22 @@ def test_free_local_checkpoint_releases_blocks(spark):
     from statcan_etl_pipeline_spark.queries.graph import _free_local_checkpoint
 
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def persistent_ids():
+        # membership of the SPECIFIC checkpoint RDD id, not a global
+        # count — the async ContextCleaner may drop other sessions'
+        # spent blocks between snapshots
+        it = jsc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
     ck = spark.range(10_000).withColumn("x", F.col("id") * 2).localCheckpoint()
-    assert jsc.getPersistentRDDs().size() == before + 1
+    rdd_id = ck._jdf.queryExecution().analyzed().rdd().id()
+    assert rdd_id in persistent_ids()
     _free_local_checkpoint(ck)
-    assert jsc.getPersistentRDDs().size() == before
+    assert rdd_id not in persistent_ids()
     # non-checkpoint frame: no-op, frame stays usable
     plain = spark.range(100)
     _free_local_checkpoint(plain)

@@ -1,9 +1,10 @@
 """Pin scripts/sf1_holdout_check.py's independent checkers against the
 REGISTERED DuckDB oracles at the gate SF.
 
-The checker script verifies, at sf1, the 8 queries whose oracle
+The checker script verifies, at sf1, the 10 queries whose oracle
 formulations are infeasible there (recursive reach CTEs, O(n²) pair
-joins, the unrolled 4-round LPA plan — see SCALING.md). Its evidence is
+joins, the unrolled 4-round LPA plan, the r12 copurchase banded
+oracles' spilling minhash hash-agg — see SCALING.md). Its evidence is
 only as good as the checkers' semantics, so this test proves each
 checker reproduces its query's registered oracle EXACTLY where the
 oracle does run: expected-result builder vs `ORACLES[name]` in DuckDB,
