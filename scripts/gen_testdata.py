@@ -186,6 +186,68 @@ def gen(sf: float, out_dir: str, seed: int = 42) -> None:
         "embedding": pa.array(list(vecs.astype(np.float32))),
         "label": pa.array(labels, pa.int32()),
     }))
+    return vecs
+
+
+def gen_planted_embeddings(
+    sf: float, out_dir: str, base: np.ndarray, seed: int = 20260816
+) -> None:
+    """OPT-IN additional table `embeddings_planted.parquet` (r12, for
+    the r13 ANN-knob work): the base corpus's true pairs sit at cosine
+    0.40-0.60 (SCALING.md, r11 refutation), where no (n_tables,
+    n_planes) setting can trade candidates for recall — so sign-LSH
+    amplification is untestable on `embeddings` at Spark scale. This
+    writes base ∪ planted near-dup clusters (per target cosine c in
+    {0.90, 0.95, 0.99}: sf-scaled cluster count, 4 vectors each; dup =
+    c·v + sqrt(1-c²)·g⊥, exact by construction) plus the pair ground
+    truth `embeddings_planted_truth.parquet` (vec_a, vec_b, cosine).
+    Same schema as `embeddings` (planted label = 100+target index), so
+    every ANN query can be pointed at it unchanged. ADDITIVE ONLY:
+    `embeddings.parquet` is untouched, so no existing sf1 evidence is
+    invalidated — registering planted-regime queries (and burning the
+    window slots that implies) stays an explicit r13 decision."""
+    rng = np.random.default_rng(seed)
+    n_clusters = max(10, int(500 * sf))
+    vecs = [base.astype(np.float64)]
+    ids = [np.arange(len(base))]
+    labels = [np.full(len(base), -1, np.int32)]
+    truth_a, truth_b, truth_c = [], [], []
+    next_id = len(base)
+    for ti, c in enumerate((0.90, 0.95, 0.99)):
+        seeds = rng.standard_normal((n_clusters, 64))
+        seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+        for s in seeds:
+            cluster = [s]
+            for _ in range(3):
+                g = rng.standard_normal(64)
+                g -= g.dot(s) * s
+                g /= np.linalg.norm(g)
+                cluster.append(c * s + np.sqrt(1 - c * c) * g)
+            cid = np.arange(next_id, next_id + 4)
+            next_id += 4
+            vecs.append(np.array(cluster))
+            ids.append(cid)
+            labels.append(np.full(4, 100 + ti, np.int32))
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    truth_a.append(cid[i])
+                    truth_b.append(cid[j])
+                    truth_c.append(float(np.dot(cluster[i], cluster[j])))
+    allv = np.vstack(vecs)
+    path = os.path.join(out_dir, "embeddings_planted.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+        "embedding": pa.array(list(allv.astype(np.float32))),
+        "label": pa.array(np.concatenate(labels), pa.int32()),
+    }), path)
+    print(f"  embeddings_planted: {len(allv):,} rows -> {path}")
+    tpath = os.path.join(out_dir, "embeddings_planted_truth.parquet")
+    pq.write_table(pa.table({
+        "vec_a": pa.array(np.array(truth_a), pa.int64()),
+        "vec_b": pa.array(np.array(truth_b), pa.int64()),
+        "cosine": pa.array(np.array(truth_c), pa.float64()),
+    }), tpath)
+    print(f"  embeddings_planted_truth: {len(truth_a):,} pairs -> {tpath}")
 
 
 def main() -> None:
@@ -194,11 +256,32 @@ def main() -> None:
     ap.add_argument("--out", default="testdata_big",
                     help="root dir; tables land in <out>/sf<sf>/")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--planted-embeddings", action="store_true",
+        help="ALSO write embeddings_planted.parquet (+truth table): "
+        "base corpus plus high-cosine near-dup clusters for ANN-knob "
+        "measurement. Additive — never touches embeddings.parquet.",
+    )
     args = ap.parse_args()
     sf_name = f"sf{args.sf:g}"
     out = os.path.join(args.out, sf_name)
+    emb_path = os.path.join(out, "embeddings.parquet")
+    if args.planted_embeddings and os.path.exists(emb_path):
+        # planted-only mode: the base tables already exist — read the
+        # shipped embeddings as the base instead of regenerating
+        # anything (keeps every existing sf1 measurement valid)
+        print(f"planting onto existing {emb_path}")
+        base = np.array(
+            pq.read_table(emb_path, columns=["embedding"])
+            .column("embedding").to_pylist(),
+            dtype=np.float64,
+        )
+        gen_planted_embeddings(args.sf, out, base)
+        return
     print(f"generating {sf_name} -> {out}")
-    gen(args.sf, out, args.seed)
+    base = gen(args.sf, out, args.seed)
+    if args.planted_embeddings:
+        gen_planted_embeddings(args.sf, out, base)
 
 
 if __name__ == "__main__":

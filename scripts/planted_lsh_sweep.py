@@ -120,9 +120,6 @@ def main() -> None:
     base /= np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(20260816)
     vecs, true_pairs = plant(base, rng)
-    by_cos = {}
-    for a, b, c in true_pairs:
-        by_cos.setdefault(round(0.05 * round(c / 0.05), 2), 0)
     print(
         f"corpus: {len(base)} real + {len(vecs) - len(base)} planted = "
         f"{len(vecs)} vectors; {len(true_pairs)} planted true pairs "
@@ -143,7 +140,6 @@ def main() -> None:
     # per-target-cosine recall at the headline knob (4, 16)
     for target in TARGET_COS:
         sub = [(a, b, c) for a, b, c in true_pairs if abs(c - target) < 0.03]
-        cand, _, _ = None, None, None
         cands_set: set[tuple[int, int]] = set()
         for t in range(4):
             h = hyperplanes(16, t)
