@@ -50,6 +50,35 @@ def test_banded_subset_and_recall_vs_wedge(spark, request, sf_fixture, recall_fl
     assert recall >= recall_floor, (len(banded), len(exact), recall)
 
 
+def _plan(spark, name, sf_dir) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_banded_plan_has_no_wedge_stream(spark, sf_small):
+    """The r12 rewrite's whole point: no wedge enumeration anywhere in
+    the plan. The wedge twin's signature constructs (the ordered-tail
+    slice/transform explode) must be absent; the exact verify runs as
+    array_intersect on the two adjacency arrays; joins stay equi."""
+    plan = _plan(spark, "copurchase_part_similarity", sf_small)
+    assert "slice(ns" not in plan, "wedge tail-slice explode crept back in"
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_census_plan_has_no_pair_join(spark, sf_small):
+    """The census reports bucket sizes only — it must never generate
+    candidate pairs (no self-join of the banded index) and its
+    bucket-size aggregate must partial-combine map-side."""
+    plan = _plan(spark, "copurchase_band_census", sf_small)
+    assert "array_intersect" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+
+
 def test_brute_cosine_guard_refuses_oversized_corpus(spark, sf_small):
     """dedup_embedding_cosine must raise past the documented bound
     (the MARKOV_MAX_K precedent): the O(n²) join is an audit baseline,
