@@ -115,6 +115,35 @@ _CHECK_FIRST = [
     "embedding_label_outliers",
     "embedding_pca_top_component",
     "embedding_sq_error_curve",
+    "events_burstiness_fano",
+    "events_rolling_7d_active_users",
+    "events_type_cooccurrence",
+    "holt_linear_daily",
+    "interdoc_chunk_dedup",
+    "ks_order_value_by_priority",
+    "lateral_alias_margin",
+    "mmr_diversified_topk",
+    "nation_type_rca",
+    "orders_fiscal_year_summary",
+    "orders_lorenz_deciles",
+    "orders_median_polish",
+    "orders_runs_test_daily",
+    "orders_sla_fulfillment",
+    "parameterized_sql_topn",
+    "price_index_chained_fisher",
+    "price_index_contributions",
+    "rotation_panel_estimates",
+    "seasonal_naive_backtest",
+    "statcan_chain_linked_index",
+    "statcan_denton_prorata",
+    "statcan_hotdeck_imputation",
+    "statcan_price_relative_fences",
+    "statcan_x11_trend",
+    "supplier_concentration_cr4",
+    "survey_raking_calibration",
+    "theil_sen_price_qty_by_type",
+    "tokenizer_fertility_by_lang",
+    "vocab_coverage_curve",
 ]
 
 

@@ -79,6 +79,40 @@ def test_band_census_plan_has_no_pair_join(spark, sf_small):
     assert "partial_" in plan
 
 
+@pytest.mark.parametrize("seed, bucket_cap", [(1, 256), (2, 256), (3, 4)])
+def test_banded_subset_property_on_random_graphs(spark, tmp_path, seed, bucket_cap):
+    """Structural contract of candidates-then-verify on ARBITRARY
+    graphs (not just the shipped corpus): because the verify step is
+    exact, every banded row must appear verbatim in the exact wedge
+    twin's output — for any random co-purchase incidence and ANY
+    bucket cap (a tiny cap may drop recall to zero but can never
+    manufacture a row; seed 3 runs with cap=4 to force hot-bucket
+    exclusion)."""
+    import numpy as np
+
+    from statcan_etl_pipeline_spark.queries.analytics3 import _banded_similarity
+
+    rng = np.random.default_rng(seed)
+    n_lines = 800
+    rows = [
+        (int(o), int(p))
+        for o, p in zip(
+            rng.integers(0, 200, n_lines), rng.integers(0, 80, n_lines)
+        )
+    ]
+    sf_dir = str(tmp_path / f"g{seed}")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+    banded = _rows(_banded_similarity(spark, sf_dir, 48, 2, bucket_cap))
+    exact = _rows(copurchase_wedge_similarity(spark, sf_dir))
+    assert banded <= exact, sorted(banded - exact)[:5]
+    if bucket_cap == 256:
+        # with the production cap on a dense little graph, the banded
+        # form must actually find something (vacuous-subset guard)
+        assert banded, "banded output empty on a dense random graph"
+
+
 def test_brute_cosine_guard_refuses_oversized_corpus(spark, sf_small):
     """dedup_embedding_cosine must raise past the documented bound
     (the MARKOV_MAX_K precedent): the O(n²) join is an audit baseline,
