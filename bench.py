@@ -75,6 +75,17 @@ GRAPH_PIPELINE = [
     "part_label_propagation_communities",
 ]
 
+# Fourth family (round 12): the banded set-similarity path. Kept
+# SEPARATE from graph_pipeline_total so that family's r11 baseline
+# stays comparable; first recording in BENCH_r12. The r12 rewrite cut
+# copurchase_part_similarity 34.2 -> 12.9 s at sf0.1 (370 -> 39 s at
+# sf1, SCALING.md) — this family makes any drift back toward the wedge
+# regime visible between rounds.
+SIM_PIPELINE = [
+    "copurchase_part_similarity",
+    "copurchase_band_census",
+]
+
 REPS = 3
 
 
@@ -108,12 +119,14 @@ def main() -> None:
     head = [n for n in HEADLINE if n in QUERIES]
     llm = [n for n in LLM_PIPELINE if n in QUERIES]
     graph = [n for n in GRAPH_PIPELINE if n in QUERIES]
+    sim = [n for n in SIM_PIPELINE if n in QUERIES]
     # warm the JVM + parquet footers once so rep 0 measures the plan,
     # not session startup
     _run(spark, head[0], sf_dir)
     timings, spread, rep_totals = _bench_family(spark, head, sf_dir)
     llm_t, llm_spread, llm_rep_totals = _bench_family(spark, llm, sf_dir)
     g_t, g_spread, g_rep_totals = _bench_family(spark, graph, sf_dir)
+    s_t, s_spread, s_rep_totals = _bench_family(spark, sim, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -133,6 +146,10 @@ def main() -> None:
                 "graph_queries": g_t,
                 "graph_spread": g_spread,
                 "graph_rep_totals": g_rep_totals,
+                "sim_pipeline_total": round(sum(s_t.values()), 3),
+                "sim_queries": s_t,
+                "sim_spread": s_spread,
+                "sim_rep_totals": s_rep_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
