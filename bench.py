@@ -113,6 +113,34 @@ def _bench_family(spark, names: list[str], sf_dir: str):
     return mins, spread, rep_totals
 
 
+def _stdout_payload(timings, llm_t, g_t, s_t, rep_totals, sf):
+    """The SINGLE stdout JSON line — totals FIRST, per-query mins after,
+    spreads/rep-detail on stderr only. r13 (VERDICT r12 item 5): the
+    driver records a 2000-char tail of stdout; the r12 line packed four
+    families' per-query spreads + rep totals into one ~4 KB object, so
+    the tail cut `headline_queries_total` and `parsed` came back null.
+    This payload is size-tested (tests/test_plans.py) to stay < 1900
+    chars so the whole line survives the tail AND parses; and because a
+    tail keeps the END of an overlong line, the per-query maps come
+    FIRST and every total comes LAST — if the line ever grows past the
+    tail again, what gets cut is a map prefix, never the totals."""
+    return {
+        "queries": timings,
+        "llm_queries": llm_t,
+        "graph_queries": g_t,
+        "sim_queries": s_t,
+        "reps": REPS,
+        "rep_totals": rep_totals,
+        "sf": sf,
+        "llm_pipeline_total": round(sum(llm_t.values()), 3),
+        "graph_pipeline_total": round(sum(g_t.values()), 3),
+        "sim_pipeline_total": round(sum(s_t.values()), 3),
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -127,33 +155,26 @@ def main() -> None:
     llm_t, llm_spread, llm_rep_totals = _bench_family(spark, llm, sf_dir)
     g_t, g_spread, g_rep_totals = _bench_family(spark, graph, sf_dir)
     s_t, s_spread, s_rep_totals = _bench_family(spark, sim, sf_dir)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
+    # spreads + per-family rep totals are measurement PROVENANCE, not
+    # the headline record — stderr, where the driver's stdout tail
+    # can't truncate the totals
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
                 "spread": spread,
-                "rep_totals": rep_totals,
-                "reps": REPS,
-                "llm_pipeline_total": round(sum(llm_t.values()), 3),
-                "llm_queries": llm_t,
                 "llm_spread": llm_spread,
                 "llm_rep_totals": llm_rep_totals,
-                "graph_pipeline_total": round(sum(g_t.values()), 3),
-                "graph_queries": g_t,
                 "graph_spread": g_spread,
                 "graph_rep_totals": g_rep_totals,
-                "sim_pipeline_total": round(sum(s_t.values()), 3),
-                "sim_queries": s_t,
                 "sim_spread": s_spread,
                 "sim_rep_totals": s_rep_totals,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        file=sys.stderr,
     )
+    print(json.dumps(_stdout_payload(timings, llm_t, g_t, s_t, rep_totals, sf)))
     spark.stop()
 
 

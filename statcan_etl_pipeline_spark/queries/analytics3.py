@@ -1026,9 +1026,14 @@ def _banded_similarity(
         F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y")
     )
     # EXACT verify on candidates only: |N(x) ∩ N(y)| via array_intersect
-    # of the two (hub-capped) adjacency arrays — per-row memory is
-    # O(deg_x + deg_y), bounded by _SIM_HUB_CAP; no wedge stream exists
-    # anywhere in the plan
+    # of the two adjacency arrays — per-row memory is O(deg_x + deg_y),
+    # bounded by the MAX PART DEGREE (r13, ADVICE): the hub cap filters
+    # the shared-neighbor (node) side of `small`, not the part (nbr)
+    # side, so a promotional-SKU part ordered with everything still
+    # collects an array of its full hub-filtered degree. At 100 TB,
+    # cap the part side too if that bound must be structural; on this
+    # schema max part degree tracks orders-per-part (≤ ~3k at sf1).
+    # No wedge stream exists anywhere in the plan.
     sets = small.groupBy("nbr").agg(F.collect_list("node").alias("ns"))
     verified = (
         cand.join(sets.select(F.col("nbr").alias("part_x"), F.col("ns").alias("ns_x")),

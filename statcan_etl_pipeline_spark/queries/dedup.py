@@ -365,8 +365,11 @@ def dedup_embedding_cosine(
     # (with_pair_cosine — the rounding wrapper was evaluating it 3×);
     # r12: the guard below makes "small inputs only" ENFORCED, not
     # advisory — nothing structurally stopped this audit baseline from
-    # being pointed at a 100 TB corpus. The count is a parquet
-    # metadata-only scan (no shuffle: counted BEFORE scatter).
+    # being pointed at a 100 TB corpus. The count probe is a real (if
+    # cheap) Spark job — a column-less parquet scan that aggregates the
+    # footer row counts per file task; it is NOT a driver-side
+    # metadata-only read, and it runs on every invocation (r13,
+    # ADVICE). No shuffle: counted BEFORE scatter.
     from ..functions.vectors import dot_fixed, with_pair_cosine
 
     raw = load_table(spark, sf_dir, "embeddings")

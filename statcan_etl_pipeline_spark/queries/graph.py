@@ -218,10 +218,22 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     lineage truncated, so reading it after this raises
     CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. No public DataFrame API exposes
     the checkpoint RDD, so this reaches through the analyzed LogicalRDD
-    (guarded by plan-class check: a non-checkpoint plan is left alone)."""
+    (guarded by plan-class check: a non-checkpoint plan is left alone).
+    r13 (ADVICE): a Spark upgrade that changes the analyzed-plan shape
+    would silently turn this into a no-op (the memory pinning returns
+    with no failure) — log the miss at debug so it is detectable; the
+    round-trip unit test pins today's shape."""
     plan = df._jdf.queryExecution().analyzed()
-    if plan.getClass().getSimpleName() == "LogicalRDD":
+    cls = plan.getClass().getSimpleName()
+    if cls == "LogicalRDD":
         plan.rdd().unpersist(False)
+    else:
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "_free_local_checkpoint: analyzed plan is %s, not LogicalRDD — "
+            "no blocks released (localCheckpoint shape changed?)", cls
+        )
 
 
 @query("part_kcore_decomposition", oracle=_kcore_oracle())

@@ -146,6 +146,33 @@ def test_bench_headline_queries_all_registered():
     assert not missing_g, f"graph bench names drifted: {missing_g}"
     assert len(bench.GRAPH_PIPELINE) == 4
     assert bench.REPS >= 3  # single-shot timing is a noise instrument
+    # r13 (VERDICT r12 item 5): the driver keeps a 2000-char stdout
+    # tail — the single stdout JSON line must fit inside it WITH
+    # worst-case timing widths, or the totals get truncated again.
+    missing_s = [n for n in bench.SIM_PIPELINE if n not in QUERIES]
+    assert not missing_s, f"sim bench names drifted: {missing_s}"
+    import json
+
+    fat = {n: 9999.999 for n in bench.HEADLINE}
+    payload = bench._stdout_payload(
+        fat,
+        {n: 9999.999 for n in bench.LLM_PIPELINE},
+        {n: 9999.999 for n in bench.GRAPH_PIPELINE},
+        {n: 9999.999 for n in bench.SIM_PIPELINE},
+        [99999.999] * bench.REPS,
+        0.1,
+    )
+    line = json.dumps(payload)
+    assert len(line) < 1900, f"bench stdout line would truncate: {len(line)}"
+    # the driver keeps the LAST 2000 chars of stdout, so every total
+    # must come AFTER the per-query maps — if the line ever outgrows
+    # the tail again, the cut lands on a map prefix, not the totals
+    # (exactly how BENCH_r12 lost `headline_queries_total`)
+    keys = list(payload)
+    for total in ("llm_pipeline_total", "graph_pipeline_total",
+                  "sim_pipeline_total", "value", "metric"):
+        assert keys.index(total) > keys.index("sim_queries"), total
+    assert json.loads(line)["metric"] == "headline_queries_total"
 
 
 def test_bucketed_tables_join_without_shuffle(spark, sf_small):
