@@ -262,10 +262,18 @@ def main() -> None:
         "base corpus plus high-cosine near-dup clusters for ANN-knob "
         "measurement. Additive — never touches embeddings.parquet.",
     )
+    ap.add_argument(
+        "--base-dir", default=None,
+        help="r13: with --planted-embeddings, read the BASE "
+        "embeddings.parquet from this directory (e.g. the read-only "
+        "/root/testdata/sf0.01) instead of from --out/sf<sf>/ — lets "
+        "the committed gate-SF planted tables plant onto the driver's "
+        "own corpus without copying it.",
+    )
     args = ap.parse_args()
     sf_name = f"sf{args.sf:g}"
     out = os.path.join(args.out, sf_name)
-    emb_path = os.path.join(out, "embeddings.parquet")
+    emb_path = os.path.join(args.base_dir or out, "embeddings.parquet")
     if args.planted_embeddings and os.path.exists(emb_path):
         # planted-only mode: the base tables already exist — read the
         # shipped embeddings as the base instead of regenerating
@@ -276,6 +284,7 @@ def main() -> None:
             .column("embedding").to_pylist(),
             dtype=np.float64,
         )
+        os.makedirs(out, exist_ok=True)
         gen_planted_embeddings(args.sf, out, base)
         return
     print(f"generating {sf_name} -> {out}")

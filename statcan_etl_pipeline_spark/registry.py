@@ -68,6 +68,7 @@ def _load_all() -> None:
         graph,
         multimodal,
         pca,
+        planted,
         recursive,
         retrieval,
         relational,

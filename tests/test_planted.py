@@ -1,0 +1,106 @@
+"""r13: the planted-regime ANN calibration family (VERDICT r12 item 2).
+
+Driver-hash parity is covered by test_parity's auto-parametrization
+(both queries carry full DuckDB oracles over the committed fixture);
+these tests pin the CONTRACT the registration exists to state — the
+knob trade-off measured at sf1 in r12 must hold on the fixture, the
+planted cosine floor must match the corrected ADVICE claim, and the
+helpers must stay dir-parameterized so the sf1 scaling runner shares
+the registered code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from statcan_etl_pipeline_spark.queries.planted import (
+    GATE_PLANTED_DIR,
+    planted_recall_contract,
+    planted_truth_profile,
+)
+from statcan_etl_pipeline_spark.registry import QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_planted_fixture_is_committed():
+    """The oracle reads the fixture by absolute path — if the parquet
+    files fall out of the tree (e.g. a .gitignore change), every driver
+    row of the family goes red. Fail fast and locally instead."""
+    for f in ("embeddings_planted.parquet", "embeddings_planted_truth.parquet"):
+        assert os.path.exists(os.path.join(GATE_PLANTED_DIR, f)), f
+    # and it must not be ignored: generated once, committed, never
+    # silently regenerated (the truth hashes are baked into the oracle
+    # evidence)
+    gi = open(os.path.join(REPO, ".gitignore")).read()
+    assert "testdata_planted" not in gi
+
+
+def _by_knob(df):
+    return {r["knob"]: r.asDict() for r in df.collect()}
+
+
+def test_planted_knob_tradeoff(spark):
+    """The registered contract: the (4,8) knob must cut candidate mass
+    ≥5× vs the registered (3,4) default while holding recall ≥0.75 on
+    planted high-cosine truth, and (3,4) must keep recall ≥0.90 —
+    the fixture-scale statement of the r12 sf1 measurement (5.6×
+    wall-clock at 0.81 vs 0.92 recall). Measured at the fixture:
+    34,715 vs 3,651 candidates (9.5×), recall 0.9167 vs 0.7722."""
+    rows = _by_knob(QUERIES["ann_planted_recall_contract"](spark, GATE_PLANTED_DIR))
+    a, b = rows["T3_p4"], rows["T4_p8"]
+    assert a["n_truth_pairs"] == b["n_truth_pairs"] == 180
+    assert a["recall"] >= 0.90, a
+    assert b["recall"] >= 0.75, b
+    assert a["recall"] > b["recall"]
+    assert b["n_candidates"] * 5 <= a["n_candidates"], (a, b)
+    # every planted truth pair sits far above the τ=0.4 verify, so a
+    # candidate truth pair is always verified
+    assert a["n_truth_hits"] <= a["n_verified"]
+    assert b["n_truth_hits"] <= b["n_verified"]
+
+
+def test_planted_truth_floor(spark):
+    """The corrected ADVICE claim as a registered fact: dup-dup pairs
+    sit at ≈ c² ± noise, so the c=0.90 tier's floor is ≈0.77 (not the
+    old 'all ≥ 0.80' claim) — and every tier stays above 0.7, which is
+    what makes recall a pure candidate-generation measure (τ=0.4 never
+    rejects a truth pair)."""
+    rows = {r["tier"]: r.asDict() for r in
+            planted_truth_profile(spark, GATE_PLANTED_DIR).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for tier, target in ((0, 0.90), (1, 0.95), (2, 0.99)):
+        r = rows[tier]
+        assert r["n_pairs"] == 60
+        assert r["target_cosine"] == pytest.approx(target)
+        # seed-dup pairs sit exactly at the target (fixed-point rounded)
+        assert r["max_cosine"] == pytest.approx(target, abs=1e-6)
+        assert r["min_cosine"] >= 0.7
+        assert r["min_cosine"] < r["avg_cosine"] < r["max_cosine"]
+    # tier 0's floor is genuinely below the old 0.80 claim
+    assert rows[0]["min_cosine"] < 0.80
+
+
+def test_planted_helper_is_dir_parameterized(spark):
+    """The sf1 scaling runner points the SAME helper at
+    testdata_big/sf1 — prove the dir parameter works by running the
+    contract on the committed sf0.1 fixture (2,600 vectors, 900 truth
+    pairs) and checking the knob ordering holds there too."""
+    d = os.path.join(REPO, "testdata_planted", "sf0.1")
+    rows = _by_knob(planted_recall_contract(spark, d))
+    a, b = rows["T3_p4"], rows["T4_p8"]
+    assert a["n_truth_pairs"] == 900
+    assert a["recall"] > b["recall"] >= 0.75
+    assert b["n_candidates"] * 5 <= a["n_candidates"]
+
+
+def test_planted_contract_plan_is_banded(spark):
+    """No cartesian/all-pairs anywhere: candidates come from the banded
+    (t, bucket) equi-join; the only nested-loop joins are the 1-row
+    aggregate crossJoins (the k-core summary precedent)."""
+    df = QUERIES["ann_planted_recall_contract"](spark, GATE_PLANTED_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
