@@ -28,83 +28,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- ROUND 12 WINDOW. Positions 0-8: the 9 queries whose latest
-    # driver evidence is ROUND 4 — the stalest block (verdict item 1),
-    # computed programmatically from CORRECTNESS_r01..r11 (latest
-    # all-green round per query). ---
-    "agg_cube_flags",
-    "dense_region_status_grid",
-    "distinct_mktsegments",
-    "full_outer_nation_coverage",
-    "percentile_disc_order_value",
-    "percentiles_order_value",
-    "pivot_status_by_segment",
-    "unpivot_part_measures",
-    "window_running_revenue",
-    # --- Positions 9-12: the three queries whose source changed this
-    # round (scripts/check_window.py enforces in-window) plus the one
-    # NEW query: the banded candidates-then-verify rewrite of
-    # copurchase_part_similarity (verdict item 2), the k-core
-    # early-exit + per-round checkpoint release (verdict item 3 +
-    # ADVICE), the brute-cosine structural input guard (verdict item
-    # 4), and copurchase_band_census (NEW r12: the banding cap's
-    # no-silent-drop companion, the dedup_lsh_bucket_census
-    # precedent). ---
-    "copurchase_part_similarity",
-    "part_kcore_decomposition",
-    "dedup_embedding_cosine",
-    "copurchase_band_census",
-    # --- Positions 13-49: 37 of the 42 queries last driver-verified in
-    # ROUND 5 (next-stalest block). The five r5 queries displaced by
-    # the changed/new slots above are DEFERRED to r13 and listed first
-    # below position 50: events_variant_stats,
-    # pipe_syntax_priority_summary, udtf_token_positions,
-    # group_by_all_revenue, statcan_seasonal_decompose. ---
-    "abc_part_classification",
-    "asof_join_with_tolerance",
-    "benford_order_totals",
-    "chi2_segment_priority",
-    "copurchase_degree_distribution",
-    "corpus_length_trim",
-    "corpus_mixture_resample",
-    "corpus_source_report",
-    "customer_ltv_cohort",
-    "doc_global_shuffle",
-    "doc_greedy_packing_sharded",
-    "doc_language_confusion",
-    "doc_simpson_diversity",
-    "doc_train_val_split",
-    "doc_unigram_rarity",
-    "embedding_centroids_by_label",
-    "embedding_kmeans",
-    "events_cumulative_unique_users",
-    "events_daily_mad_anomalies",
-    "events_daily_trend",
-    "events_interarrival_stats",
-    "events_moving_corr_7d",
-    "events_strict_funnel_pattern",
-    "events_user_transitions",
-    "funnel_time_to_convert",
-    "gini_customer_revenue",
-    "graph_pagerank",
-    "orders_open_intervals_daily",
-    "orders_price_bands",
-    "pareto_frontier_parts",
-    "pii_scan_tables",
-    "session_duration_histogram",
-    "statcan_interpolate_linear",
-    "supplier_hhi_by_nation",
-    "supplier_share_of_nation",
-    "top_ngrams_per_lang",
-    "weighted_median_price_by_brand",
-    # --- everything below position 50 is driver-green from r5-r11;
-    # next-stalest first so future rotations read top-down: the five
-    # deferred r5s, then the r6 block. ---
+    # --- ROUND 13 WINDOW (VERDICT r12 item 1). Positions 0-4: the five
+    # r5-verified queries deferred from the r12 rotation — the stalest
+    # block (freshness ledger computed programmatically from
+    # CORRECTNESS_r01..r12: r5×5, r6×39, r8×45, r9×43, r10×48, r11×47,
+    # r12×50). ---
     "events_variant_stats",
     "pipe_syntax_priority_summary",
     "udtf_token_positions",
     "group_by_all_revenue",
     "statcan_seasonal_decompose",
+    # --- Positions 5-10: this round's changed + new queries
+    # (scripts/check_window.py enforces in-window). Changed:
+    # copurchase_part_similarity + copurchase_band_census (r13 OR-
+    # amplification decision, VERDICT item 3 — see analytics3.py),
+    # part_kcore_decomposition (published fixed-12 contract docstring +
+    # the _free_local_checkpoint debug log, VERDICT item 4 + ADVICE),
+    # dedup_embedding_cosine (count-probe comment reword, ADVICE).
+    # New: the planted-regime ANN family (VERDICT item 2) —
+    # ann_planted_recall_contract + ann_planted_truth_profile over the
+    # committed testdata_planted/sf0.01 calibration fixture. ---
+    "copurchase_part_similarity",
+    "copurchase_band_census",
+    "part_kcore_decomposition",
+    "dedup_embedding_cosine",
+    "ann_planted_recall_contract",
+    "ann_planted_truth_profile",
+    # --- Positions 11-49: the 39 queries last driver-verified in
+    # ROUND 6 — the rest of the staleness tail; after this round the
+    # freshness floor moves to r8. ---
     "anova_order_value_by_priority",
     "brand_return_rate_wilson",
     "corpus_bpe_merges",
@@ -144,6 +96,54 @@ _CHECK_FIRST = [
     "theil_sen_price_qty_by_type",
     "tokenizer_fertility_by_lang",
     "vocab_coverage_curve",
+    # --- everything below position 50 is driver-green from r8-r12;
+    # next-stalest first so future rotations read top-down: the r8
+    # block (45 queries — r14 window material, positions 50-94). ---
+    "approx_distinct_parts_by_flag",
+    "approx_quantiles_order_value",
+    "asof_join_cogrouped",
+    "bom_explosion_recursive",
+    "business_day_ship_latency",
+    "collated_segment_rollup",
+    "corpus_cross_source_overlap",
+    "customer_value_migration",
+    "doc_novelty_by_order",
+    "doc_script_mix",
+    "doc_token_arrow_stats",
+    "embedding_interclass_similarity",
+    "er_supplier_name_pairs",
+    "events_autocorr_lags",
+    "events_cusum_drift",
+    "events_error_alert_transitions",
+    "events_error_pchart",
+    "events_ewma_daily",
+    "events_hour_of_week_profile",
+    "events_multitouch_attribution",
+    "events_ohlc_hourly",
+    "events_value_quartile_bands",
+    "events_zseason_weekday_lift",
+    "join_key_skew_report",
+    "lineitem_quantity_mode_profile",
+    "lineitem_tax_audit",
+    "multimodal_frame_catalog",
+    "ngram_pmi_collocations",
+    "orders_backlog_aging",
+    "orders_calendar_spine_recursive",
+    "orders_column_profile",
+    "orders_latency_qq_by_priority",
+    "orders_priority_mix_shift",
+    "part_brand_price_ladder",
+    "price_index_fisher",
+    "revenue_contribution_growth",
+    "session_top_paths",
+    "statcan_calendarization",
+    "statcan_cell_suppression",
+    "statcan_cv_quality_grades",
+    "statcan_revision_analysis",
+    "stratified_sample_exact",
+    "survey_ht_total_audit",
+    "text_stopword_profile",
+    "user_weekly_survival",
 ]
 
 
