@@ -81,6 +81,12 @@ GRAPH_PIPELINE = [
 # copurchase_part_similarity 34.2 -> 12.9 s at sf0.1 (370 -> 39 s at
 # sf1, SCALING.md) — this family makes any drift back toward the wedge
 # regime visible between rounds.
+# r13 NOTE: expect this family's totals to RISE vs BENCH_r12 — the
+# band count was deliberately raised 24 -> 96 (x4 minhash term,
+# measured x1.39 at sf0.1) to buy sf0.01 recall 0.25 -> 0.705 vs the
+# exact wedge twin (VERDICT r12 item 3; curve + adoption rationale in
+# SCALING.md "Round 13"). A deliberate, documented recall buy — not
+# drift; the wedge regime (14.7M candidate pairs) remains 33x away.
 SIM_PIPELINE = [
     "copurchase_part_similarity",
     "copurchase_band_census",

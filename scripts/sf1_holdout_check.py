@@ -440,12 +440,14 @@ def exp_part_label_propagation_communities(ctx: Ctx) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # copurchase banded family (r12): the registered single-statement
 # oracle spills >65 GB at sf1 — DuckDB's hash agg materializes the
-# 48-column minhash projection of the 44M-row adjacency stream before
-# aggregating. The checker executes the SAME formulation with
-# materialized stages (the LPA round-by-round precedent): `small` and
-# `deg` as temp tables, the signature table built in 16 hash-partition
-# passes (each pass aggregates ≤ 1/16 of the stream), then
-# bands/cap/candidates/verify from the ~200k-row materialized sig.
+# minhash projection (48 columns then; 192 since the r13 band
+# adoption) of the 44M-row adjacency stream before aggregating. The
+# checker executes the SAME formulation with materialized stages (the
+# LPA round-by-round precedent): `small` and `deg` as temp tables, the
+# signature table built in hash-partition passes sized so each pass's
+# agg state stays at the proven r12 level (16 passes × 48 columns ⇒
+# 16·(n_hashes/48) passes), then bands/cap/candidates/verify from the
+# ~200k-row materialized sig.
 # ---------------------------------------------------------------------------
 def _copurchase_stage_tables(ctx: Ctx) -> None:
     if getattr(ctx, "_copurchase_staged", False):
@@ -484,12 +486,13 @@ WHERE cop_deg.d <= {_SIM_HUB_CAP}"""
         "FROM (SELECT nbr, CAST(node AS VARCHAR) AS sh FROM cop_small) "
         "WHERE 1 = 0 GROUP BY part"
     )
-    for i in range(16):
+    n_passes = 16 * max(1, _SIM_N_HASHES // 48)
+    for i in range(n_passes):
         ctx.con.execute(
             "INSERT INTO cop_sig "
             f"SELECT nbr AS part, {mh} "
             "FROM (SELECT nbr, CAST(node AS VARCHAR) AS sh FROM cop_small "
-            f"      WHERE nbr % 16 = {i}) "
+            f"      WHERE nbr % {n_passes} = {i}) "
             "GROUP BY part"
         )
     ctx._copurchase_staged = True

@@ -908,18 +908,32 @@ def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (P = j², 7·10⁻⁸ for sf1's typical j ≈ 0.0003) — measured 62k kept
 # bucket-pairs at sf0.1 with 24×2 bands, a 236× reduction — at the
 # price of gate-SF recall on this query's production-hostile τ=0.1:
-# 1-(1-j²)^24 ≈ 0.23 at j=0.1 (measured vs the exact wedge twin:
-# 16549/19899 = 0.83 at sf0.001, 22/88 = 0.25 at sf0.01 — floors
-# pinned in tests/test_copurchase_banded.py). That recall trade is the
-# honest shape of LSH below its effective similarity range (the same
-# conclusion as the r11 embedding-LSH refutation); the wedge twin below
+# 1-(1-j²)^B at j=0.1 is 0.22/0.38/0.62 for B=24/48/96.
+#
+# r13 BAND COUNT, measured (VERDICT r12 item 3 — OR-amplification
+# sweep, scripts/copurchase_band_sweep.py, interleaved same-session):
+# holding r=2 and sweeping bands 24→48→96,
+#   recall vs wedge twin   sf0.001: 0.832 / 0.965 / 0.995
+#                          sf0.01:  0.250 / 0.443 / 0.705
+#   candidate mass sf0.1:  120,896 / 227,200 / 445,450  (wedge: 14.7M)
+#   wall sf0.1 (min-of-3): 21.3 / 23.4 / 29.6 s   (wedge: 34.2 s, r12)
+#   wall sf1  (min-of-2):  87.5 /   —  / 171.4 s  (wedge: 370.4 s, r12)
+# ADOPTED: 96 bands × 2 rows. It meets the verdict's ≥0.5 sf0.01
+# recall target (0.705, 2.8× the r12 setting), keeps candidate mass
+# 33× below the wedge regime, and stays under the wedge wall-clock at
+# every measured decade; the price — ×1.39 at sf0.1, ×1.96 at sf1,
+# all of it the 4× md5 minhash-signature term, linear in |adjacency| —
+# is the documented cost of recall, not a regime change (both
+# formulations still return 0 rows at sf1, so the added scale cost
+# buys recall exactly where rows exist to recall). Floors raised in
+# tests/test_copurchase_banded.py (0.95 / 0.60). The wedge twin below
 # remains the exact audit for small SFs. The oracle mirrors the
 # banding EXACTLY, so driver parity holds at every SF regardless of
 # recall.
 # ---------------------------------------------------------------------------
 
 _SIM_HUB_CAP = 10_000
-_SIM_N_HASHES = 48  # 24 bands × 2 rows: P(cand) = 1-(1-j²)^24
+_SIM_N_HASHES = 192  # 96 bands × 2 rows: P(cand) = 1-(1-j²)^96
 _SIM_BAND_ROWS = 2
 _SIM_BUCKET_CAP = 256  # per-bucket pair fan-out ≤ C(256, 2) = 32 640
 
@@ -1082,7 +1096,10 @@ def copurchase_part_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mass each size class would generate and whether _SIM_BUCKET_CAP
 # excludes it from pair generation. Production runs REPORT the skipped
 # mass instead of trusting that the cap never bites (it never does
-# below sf1: max bucket 140 at sf0.1 with 24×2 bands).
+# below sf1: max bucket 140 at sf0.1 — measured identical at 24×2 and
+# the r13-adopted 96×2 bands, as expected: each band is an i.i.d.
+# 2-row minhash key, so adding bands adds buckets without densifying
+# any one of them).
 # ---------------------------------------------------------------------------
 @query(
     "copurchase_band_census",

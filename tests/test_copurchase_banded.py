@@ -28,16 +28,16 @@ def _rows(df):
 
 @pytest.mark.parametrize(
     "sf_fixture, recall_floor",
-    [("sf_small", 0.80), ("sf_med", 0.20)],
+    [("sf_small", 0.95), ("sf_med", 0.60)],
 )
 def test_banded_subset_and_recall_vs_wedge(spark, request, sf_fixture, recall_floor):
     """Every banded row reproduces the wedge twin's row EXACTLY (the
     verify step is exact on candidates — common/deg/jaccard identical),
-    and recall ≥ the pinned floor (measured r12 with 24×2-row bands,
-    cap 256: 16549/19899 = 0.83 at sf0.001, 22/88 = 0.25 at sf0.01 —
-    the r=2 banding trades gate-SF recall at this query's
-    production-hostile τ=0.1 for a measured 236× candidate-mass
-    reduction at sf0.1; see the analytics3.py banner)."""
+    and recall ≥ the pinned floor (r13 OR-amplification adoption,
+    96×2-row bands, cap 256: measured 19796/19899 = 0.995 at sf0.001,
+    62/88 = 0.705 at sf0.01 — up from 0.83/0.25 at the r12 24-band
+    setting for a measured ×1.39 sf0.1 / ×1.96 sf1 cost; the full
+    curve is in the analytics3.py banner and SCALING.md)."""
     sf_dir = request.getfixturevalue(sf_fixture)
     banded = _rows(QUERIES["copurchase_part_similarity"](spark, sf_dir))
     exact = _rows(copurchase_wedge_similarity(spark, sf_dir))
