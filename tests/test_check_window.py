@@ -66,3 +66,26 @@ def test_manifest_schema_and_clean_tree_passes():
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_check_first_names_are_unique_and_registered():
+    """r13: _CHECK_FIRST is the driver-window ordering — a duplicate
+    silently shrinks the effective window (dict-comprehension dedup),
+    and an unknown name silently drops a slot (`if k in QUERIES`), so
+    both must fail loudly here instead. (A duplicated r6 block briefly
+    existed during the r13 rotation edit; this pins the invariant.)"""
+    import importlib.util
+
+    from statcan_etl_pipeline_spark.registry import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_test", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = mod._CHECK_FIRST
+    assert len(names) == len(set(names)), "duplicate names in _CHECK_FIRST"
+    unknown = [n for n in names if n not in QUERIES]
+    assert not unknown, f"_CHECK_FIRST names not in registry: {unknown}"
+    # and the window must hold the full 50 the driver checks
+    assert len(names) >= 50

@@ -38,6 +38,39 @@ def test_planted_fixture_is_committed():
     assert "testdata_planted" not in gi
 
 
+def test_planted_fixture_bytes_are_pinned():
+    """The fixture is generated ONCE and committed; the driver hashes
+    of the whole planted family are evidence about exactly these bytes.
+    A silent regeneration (different numpy/pyarrow version, tweaked
+    seed) would shift the ground truth between window rotations while
+    every green row kept pointing at the old corpus — so the committed
+    parquet md5s are pinned here. If you regenerate DELIBERATELY,
+    update these pins in the same commit and rotate the family back
+    into the driver window."""
+    import hashlib
+
+    pins = {
+        "sf0.001/embeddings_planted.parquet":
+            "2f3b6a4dc37fd7e5d4611b08823bbb79",
+        "sf0.001/embeddings_planted_truth.parquet":
+            "16ba70681892782889c5ccd2e60b25fc",
+        "sf0.01/embeddings_planted.parquet":
+            "a3f9f1c333c576dc27e0e016a9529b17",
+        # identical to sf0.001's: both plant on a 500-vector base, so
+        # cluster count and seeds coincide — expected, not a bug
+        "sf0.01/embeddings_planted_truth.parquet":
+            "16ba70681892782889c5ccd2e60b25fc",
+        "sf0.1/embeddings_planted.parquet":
+            "e16868edffbfce7871f029b390f94434",
+        "sf0.1/embeddings_planted_truth.parquet":
+            "68361478c13c8cf6b7d07850e78c1fb8",
+    }
+    root = os.path.join(REPO, "testdata_planted")
+    for rel, want in pins.items():
+        got = hashlib.md5(open(os.path.join(root, rel), "rb").read()).hexdigest()
+        assert got == want, f"{rel}: fixture bytes drifted ({got})"
+
+
 def _by_knob(df):
     return {r["knob"]: r.asDict() for r in df.collect()}
 
