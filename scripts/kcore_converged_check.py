@@ -32,6 +32,10 @@ def duckdb_kcore_fixpoint(sf_dir: str, max_rounds: int = 64) -> dict:
     registered query's unrolled-CTE oracle."""
     con = duckdb.connect()
     li = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(li):
+        # Spark writes a parquet DIRECTORY (tests' random graphs); the
+        # shipped testdata are single files
+        li = os.path.join(li, "*.parquet")
     con.execute(
         f"""CREATE TEMP TABLE edges AS
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{li}'))

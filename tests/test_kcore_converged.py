@@ -53,3 +53,31 @@ def test_converged_raises_instead_of_truncating(spark, sf_small):
     core: an unreachable max_rounds raises."""
     with pytest.raises(RuntimeError, match="no fixpoint"):
         part_kcore_converged(spark, sf_small, max_rounds=1)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_converged_matches_duckdb_peel_on_random_graphs(
+    spark, tmp_path, seed
+):
+    """The three-way k-core agreement on ARBITRARY graphs, not just the
+    shipped corpus: a random co-purchase incidence written as a
+    lineitem table must produce the same (k, core, edges, rounds) from
+    the Spark fixpoint peel and the independent DuckDB peel (which also
+    asserts the min-induced-degree property in SQL)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_lines = 600
+    rows = [
+        (int(o), int(p))
+        for o, p in zip(
+            rng.integers(0, 150, n_lines), rng.integers(0, 60, n_lines)
+        )
+    ]
+    sf_dir = str(tmp_path / f"kc{seed}")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+    got = part_kcore_converged(spark, sf_dir).collect()[0].asDict()
+    exp = duckdb_kcore_fixpoint(sf_dir)
+    assert got == exp, (got, exp)

@@ -137,3 +137,30 @@ def test_planted_contract_plan_is_banded(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_candidates_or_amplification_is_monotone(spark):
+    """Structural contract of OR-amplification: a pair is a candidate
+    if ANY table buckets it together, so adding a table (same prefixes
+    for the shared ones) can only ADD candidates — candidates(T=3,p)
+    must contain candidates(T=2,p) and so on. Checked on the committed
+    sf0.001 fixture at p=8 (small buckets, so the containment is not
+    vacuous)."""
+    from statcan_etl_pipeline_spark.queries.planted import (
+        _lsh_candidates,
+        _planted,
+    )
+
+    emb = _planted(spark, os.path.join(REPO, "testdata_planted", "sf0.001"))
+    sets = []
+    for n_tables in (1, 2, 3):
+        rows = _lsh_candidates(emb, n_tables, 8).collect()
+        pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+        assert len(pairs) == len(rows), "candidate pairs not distinct"
+        assert all(a < b for a, b in pairs), "pair orientation violated"
+        sets.append(pairs)
+    assert sets[0] <= sets[1] <= sets[2], (
+        len(sets[0]), len(sets[1]), len(sets[2]))
+    # and it must not be vacuous: each extra table finds something new
+    # on this fixture (measured: strictly growing)
+    assert len(sets[0]) < len(sets[2])
