@@ -28,77 +28,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- ROUND 13 WINDOW (VERDICT r12 item 1). Positions 0-4: the five
-    # r5-verified queries deferred from the r12 rotation — the stalest
-    # block (freshness ledger computed programmatically from
-    # CORRECTNESS_r01..r12: r5×5, r6×39, r8×45, r9×43, r10×48, r11×47,
-    # r12×50). ---
-    "events_variant_stats",
-    "pipe_syntax_priority_summary",
-    "udtf_token_positions",
-    "group_by_all_revenue",
-    "statcan_seasonal_decompose",
-    # --- Positions 5-10: this round's changed + new queries
-    # (scripts/check_window.py enforces in-window). Changed:
-    # copurchase_part_similarity + copurchase_band_census (r13 OR-
-    # amplification decision, VERDICT item 3 — see analytics3.py),
-    # part_kcore_decomposition (published fixed-12 contract docstring +
-    # the _free_local_checkpoint debug log, VERDICT item 4 + ADVICE),
-    # dedup_embedding_cosine (count-probe comment reword, ADVICE).
-    # New: the planted-regime ANN family (VERDICT item 2) —
-    # ann_planted_recall_contract + ann_planted_truth_profile over the
-    # committed testdata_planted/sf0.01 calibration fixture. ---
+    # --- ROUND 14 WINDOW (VERDICT r13 item 1). Positions 0-3: this
+    # round's changed + new queries (scripts/check_window.py enforces
+    # in-window): the copurchase pair rewired onto the slim
+    # Kirsch-Mitzenmacher banded index (VERDICT r13 item 2 — the
+    # census `weak` fix; oracle rewritten to mirror, see
+    # queries/analytics3.py), the NEW copurchase_minhash_calibration
+    # estimator-quality contract for that family, and
+    # ann_planted_recall_contract (its _lsh_candidates helper gained
+    # the no-bucket-cap ADVICE docstring). ---
     "copurchase_part_similarity",
     "copurchase_band_census",
-    "part_kcore_decomposition",
-    "dedup_embedding_cosine",
+    "copurchase_minhash_calibration",
     "ann_planted_recall_contract",
-    "ann_planted_truth_profile",
-    # --- Positions 11-49: the 39 queries last driver-verified in
-    # ROUND 6 — the rest of the staleness tail; after this round the
-    # freshness floor moves to r8. ---
-    "anova_order_value_by_priority",
-    "brand_return_rate_wilson",
-    "corpus_bpe_merges",
-    "corpus_dataset_card",
-    "doc_feature_hash_embedding",
-    "doc_length_powerlaw_by_source",
-    "embedding_dim_stats",
-    "embedding_label_outliers",
-    "embedding_pca_top_component",
-    "embedding_sq_error_curve",
-    "events_burstiness_fano",
-    "events_rolling_7d_active_users",
-    "events_type_cooccurrence",
-    "holt_linear_daily",
-    "interdoc_chunk_dedup",
-    "ks_order_value_by_priority",
-    "lateral_alias_margin",
-    "mmr_diversified_topk",
-    "nation_type_rca",
-    "orders_fiscal_year_summary",
-    "orders_lorenz_deciles",
-    "orders_median_polish",
-    "orders_runs_test_daily",
-    "orders_sla_fulfillment",
-    "parameterized_sql_topn",
-    "price_index_chained_fisher",
-    "price_index_contributions",
-    "rotation_panel_estimates",
-    "seasonal_naive_backtest",
-    "statcan_chain_linked_index",
-    "statcan_denton_prorata",
-    "statcan_hotdeck_imputation",
-    "statcan_price_relative_fences",
-    "statcan_x11_trend",
-    "supplier_concentration_cr4",
-    "survey_raking_calibration",
-    "theil_sen_price_qty_by_type",
-    "tokenizer_fertility_by_lang",
-    "vocab_coverage_curve",
-    # --- everything below position 50 is driver-green from r8-r12;
-    # next-stalest first so future rotations read top-down: the r8
-    # block (45 queries — r14 window material, positions 50-94). ---
+    # --- Positions 4-48: the 45 queries last driver-verified in
+    # ROUND 8 — the entire remaining r8 staleness floor; after this
+    # round the freshness floor moves to r9. Position 49 is a spare
+    # slot (left empty: 49 listed + driver pads from queries()
+    # order, whose next entry is the r9 block below). ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
     "asof_join_cogrouped",
@@ -144,7 +91,54 @@ _CHECK_FIRST = [
     "survey_ht_total_audit",
     "text_stopword_profile",
     "user_weekly_survival",
+    # --- everything below position 49 is driver-green from r9-r13;
+    # next-stalest first so future rotations read top-down: the r9
+    # block (43 queries — r15 window material). ---
+    "agg_rollup_sales",
+    "asof_join_purchase_to_view",
+    "atkinson_inequality_by_nation",
+    "boilerplate_ngram_ratio",
+    "corpus_temperature_sampling",
+    "customer_repurchase_cycle",
+    "doc_bm25_search",
+    "doc_dsir_importance_weights",
+    "doc_perplexity_buckets",
+    "doc_rrf_quality_fusion",
+    "doc_shingle_containment",
+    "event_type_trigrams",
+    "events_bounce_rate_daily",
+    "events_cuped_variance_reduction",
+    "hll_mergeable_rollup",
+    "kruskal_wallis_order_value",
+    "mwu_order_value_segments",
+    "nation_trade_balance",
+    "orders_chain_ladder_completion",
+    "orders_kaplan_meier_ship_latency",
+    "part_label_propagation_communities",
+    "pipeline_topk_per_segment",
+    "price_qty_regression_by_type",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "sessionize_events",
+    "spearman_price_acctbal",
+    "statcan_allocation_largest_remainder",
+    "statcan_gvf_cv_model",
+    "statcan_random_rounding_base5",
+    "survey_jackknife_variance",
+    "survey_neyman_allocation",
+    "survey_winsorized_total",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_rake_keywords",
+    "text_stats",
+    "tfidf_top_terms",
+    "tukey_hsd_pairwise",
+    "window_top3_parts_per_supplier",
 ]
+
 
 
 

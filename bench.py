@@ -120,7 +120,7 @@ def _bench_family(spark, names: list[str], sf_dir: str):
 
 
 def _stdout_payload(timings, llm_t, g_t, s_t, rep_totals, sf):
-    """The SINGLE stdout JSON line — totals FIRST, per-query mins after,
+    """The SINGLE stdout JSON line — per-query maps first, totals LAST,
     spreads/rep-detail on stderr only. r13 (VERDICT r12 item 5): the
     driver records a 2000-char tail of stdout; the r12 line packed four
     families' per-query spreads + rep totals into one ~4 KB object, so

@@ -46,11 +46,12 @@ def _rows(df):
 
 def _candidates(spark, sf_dir, n_hashes):
     """Candidate-pair count for the banded index at (n_hashes, r=2) —
-    the same construction as _banded_similarity up to the verify."""
-    from statcan_etl_pipeline_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signature,
-    )
+    the same construction as _banded_similarity up to the verify
+    (r14: the slim KM-family _sim_banded_index, matching the
+    registered query; the r13 sweep numbers in SCALING.md were taken
+    with the md5-string family)."""
+    from statcan_etl_pipeline_spark.operators.dedup import lsh_pairs_from_index
+    from statcan_etl_pipeline_spark.queries.analytics3 import _sim_banded_index
 
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
@@ -66,8 +67,8 @@ def _candidates(spark, sf_dir, n_hashes):
     shingled = small.select(
         F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
     )
-    sig = minhash_signature(shingled, n_hashes)
-    return lsh_candidate_pairs(sig, n_hashes, 2, _SIM_BUCKET_CAP).count()
+    banded = _sim_banded_index(shingled, n_hashes, 2)
+    return lsh_pairs_from_index(banded, _SIM_BUCKET_CAP).count()
 
 
 def main() -> None:

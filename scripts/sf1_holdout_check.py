@@ -452,10 +452,11 @@ def exp_part_label_propagation_communities(ctx: Ctx) -> pd.DataFrame:
 def _copurchase_stage_tables(ctx: Ctx) -> None:
     if getattr(ctx, "_copurchase_staged", False):
         return
-    from statcan_etl_pipeline_spark.operators.dedup import _mh_expr
     from statcan_etl_pipeline_spark.queries.analytics3 import (
         _SIM_HUB_CAP,
+        _SIM_KM_PRIME,
         _SIM_N_HASHES,
+        _sim_km_consts,
     )
 
     ctx.con.execute(
@@ -479,20 +480,32 @@ FROM (SELECT u AS node, v AS nbr FROM cop_edges
 JOIN cop_deg ON cop_deg.node = a.node
 WHERE cop_deg.d <= {_SIM_HUB_CAP}"""
     )
-    mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(_SIM_N_HASHES))
+    # r14 KM scheme (queries/analytics3._sim_banded_index): one md5 per
+    # shingle, mh_k = min((a_k·h + b_k) % P) as BIGINT — same constants,
+    # same arithmetic, staged with the same hash-partition pass machinery
+    # (BIGINT agg state is ~8× slimmer than the r13 192-string version,
+    # but the pass count is kept; extra passes are cheap).
+    p = _SIM_KM_PRIME
+    mh = ", ".join(
+        "min(({a} * h + {b}) % {p}) AS mh_{k}".format(
+            a=_sim_km_consts(k)[0], b=_sim_km_consts(k)[1], p=p, k=k
+        )
+        for k in range(_SIM_N_HASHES)
+    )
+    hashed = (
+        "SELECT nbr, CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {p} AS h FROM cop_small"
+    )
     ctx.con.execute(
         "CREATE TEMP TABLE cop_sig AS "
-        f"SELECT nbr AS part, {mh} "
-        "FROM (SELECT nbr, CAST(node AS VARCHAR) AS sh FROM cop_small) "
-        "WHERE 1 = 0 GROUP BY part"
+        f"SELECT nbr AS part, {mh} FROM ({hashed}) WHERE 1 = 0 GROUP BY part"
     )
     n_passes = 16 * max(1, _SIM_N_HASHES // 48)
     for i in range(n_passes):
         ctx.con.execute(
             "INSERT INTO cop_sig "
-            f"SELECT nbr AS part, {mh} "
-            "FROM (SELECT nbr, CAST(node AS VARCHAR) AS sh FROM cop_small "
-            f"      WHERE nbr % {n_passes} = {i}) "
+            f"SELECT nbr AS part, {mh} FROM ({hashed} "
+            f"WHERE nbr % {n_passes} = {i}) "
             "GROUP BY part"
         )
     ctx._copurchase_staged = True
@@ -501,14 +514,15 @@ WHERE cop_deg.d <= {_SIM_HUB_CAP}"""
 def _copurchase_bands_sql() -> str:
     from statcan_etl_pipeline_spark.queries.analytics3 import (
         _SIM_BAND_ROWS,
+        _SIM_KM_PRIME,
         _SIM_N_HASHES,
     )
 
     n_bands = _SIM_N_HASHES // _SIM_BAND_ROWS
     return " UNION ALL ".join(
-        f"SELECT part, {b} AS band, md5("
-        + " || ".join(f"mh_{b * _SIM_BAND_ROWS + r}" for r in range(_SIM_BAND_ROWS))
-        + ") AS key FROM cop_sig"
+        f"SELECT part, {b} AS band, "
+        f"mh_{b * _SIM_BAND_ROWS} * {_SIM_KM_PRIME} "
+        f"+ mh_{b * _SIM_BAND_ROWS + 1} AS key FROM cop_sig"
         for b in range(n_bands)
     )
 
@@ -577,9 +591,82 @@ ORDER BY bucket_size
     ).df()
 
 
+def exp_copurchase_minhash_calibration(ctx: Ctx) -> pd.DataFrame:
+    """r14: the KM estimator-quality report from the SAME staged
+    cop_sig/cop_small tables — agree count via the balanced CASE-sum
+    (analytics3._balanced_sum, DuckDB binder-depth safe), micro-unit
+    integer sums, floor bucketing; mirrors the registered oracle with
+    the single-statement sig agg replaced by the staged table."""
+    from statcan_etl_pipeline_spark.queries.analytics3 import (
+        _SIM_BUCKET_CAP,
+        _SIM_N_HASHES,
+        _balanced_sum,
+    )
+
+    _copurchase_stage_tables(ctx)
+    agree = _balanced_sum(
+        [
+            f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)"
+            for k in range(_SIM_N_HASHES)
+        ]
+    )
+    return ctx.con.execute(
+        f"""
+WITH bands AS MATERIALIZED ({_copurchase_bands_sql()}),
+cold AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {_SIM_BUCKET_CAP}
+), kept AS MATERIALIZED (
+  SELECT b.part, b.band, b.key
+  FROM bands b JOIN cold c ON b.band = c.band AND b.key = c.key
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.part AS part_x, b.part AS part_y
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.part < b.part
+), counts AS (
+  SELECT nbr AS part, CAST(count(*) AS BIGINT) AS n
+  FROM cop_small GROUP BY nbr
+), common AS (
+  SELECT c.part_x, c.part_y, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN cop_small sa ON sa.nbr = c.part_x
+  JOIN cop_small sb ON sb.nbr = c.part_y AND sb.node = sa.node
+  GROUP BY c.part_x, c.part_y
+), per_pair AS (
+  SELECT CAST(floor(({agree}) * 1000000.0 / {_SIM_N_HASHES} + 0.5) AS BIGINT)
+           AS est_u,
+         CAST(floor(coalesce(cm.common, 0) * 1000000.0
+                    / (ca.n + cb.n - coalesce(cm.common, 0)) + 0.5) AS BIGINT)
+           AS exact_u
+  FROM cand c
+  JOIN cop_sig sa ON sa.part = c.part_x
+  JOIN cop_sig sb ON sb.part = c.part_y
+  LEFT JOIN common cm ON cm.part_x = c.part_x AND cm.part_y = c.part_y
+  JOIN counts ca ON ca.part = c.part_x
+  JOIN counts cb ON cb.part = c.part_y
+)
+SELECT CAST(floor(exact_u / 100000.0) AS INT) AS j_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sum(est_u) / (count(*) * 1000000.0) AS avg_est_raw,
+       sum(exact_u) / (count(*) * 1000000.0) AS avg_exact_raw,
+       sum(abs(est_u - exact_u)) / (count(*) * 1000000.0) AS err_raw
+FROM per_pair
+GROUP BY j_bucket
+ORDER BY j_bucket
+"""
+    ).df().assign(
+        avg_est_jaccard=lambda d: pround6(d.pop("avg_est_raw").to_numpy(np.float64)),
+        avg_exact_jaccard=lambda d: pround6(
+            d.pop("avg_exact_raw").to_numpy(np.float64)
+        ),
+        mean_abs_err=lambda d: pround6(d.pop("err_raw").to_numpy(np.float64)),
+    )
+
+
 HOLDOUTS = {
     "copurchase_part_similarity": exp_copurchase_part_similarity,
     "copurchase_band_census": exp_copurchase_band_census,
+    "copurchase_minhash_calibration": exp_copurchase_minhash_calibration,
     "dedup_connected_groups": exp_dedup_connected_groups,
     "dedup_cluster_size_census": exp_dedup_cluster_size_census,
     "dedup_token_savings_by_source": exp_dedup_token_savings_by_source,

@@ -137,7 +137,21 @@ def lsh_candidate_pairs(
     lineage without the checkpoint, 1 with — the signature computation
     is the dominant per-row cost, so recomputing it ~4× roughly
     doubled the capped path)."""
-    banded = band_keys(signatures, n_hashes, band_rows)
+    return lsh_pairs_from_index(
+        band_keys(signatures, n_hashes, band_rows), max_bucket_size
+    )
+
+
+def lsh_pairs_from_index(
+    banded: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """The pair-generation stage of `lsh_candidate_pairs`, split out
+    (r14) so callers that build the (doc_id, band, key) index
+    themselves — e.g. the copurchase queries' slim agg-time banding in
+    queries/analytics3.py, which never materializes the n_hashes
+    minhash columns — reuse the identical capped self-join instead of
+    duplicating it. Semantics and plan are exactly the pre-split body;
+    see `lsh_candidate_pairs` for the cap/checkpoint rationale."""
     if max_bucket_size is not None:
         banded = banded.localCheckpoint(eager=False)
         hot = (
@@ -180,7 +194,17 @@ def lsh_bucket_census(
     built on the census must not read it as exact recall loss.
     O(distinct sizes) output rows; one shuffle on (band, key) plus one
     on the tiny size column."""
-    banded = band_keys(signatures, n_hashes, band_rows)
+    return lsh_census_from_index(
+        band_keys(signatures, n_hashes, band_rows), max_bucket_size
+    )
+
+
+def lsh_census_from_index(
+    banded: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """The census stage of `lsh_bucket_census`, split out (r14) for
+    callers with a self-built banded index — same split rationale as
+    `lsh_pairs_from_index`. Body is exactly the pre-split aggregation."""
     sizes = banded.groupBy("band", "key").agg(
         F.count(F.lit(1)).cast("long").alias("bucket_size")
     )

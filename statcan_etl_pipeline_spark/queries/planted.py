@@ -44,6 +44,17 @@ from .dedup import COS_TAU, _lsh_table_prefix
 from .similarity import _hyperplanes
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# PATH DEPENDENCE (r14, ADVICE): the DuckDB oracle strings for both
+# planted queries embed these ABSOLUTE read_parquet paths, resolved
+# from __file__ at import time — the oracle text (and any hash computed
+# over it, e.g. scripts/check_window.py's) is therefore
+# checkout-location-dependent. A relocated clone produces different
+# oracle strings and a one-time check_window "changed" report for the
+# two planted queries even though no source line moved; the driver's
+# value-hash parity is unaffected (both engines read the same committed
+# fixture bytes wherever the repo lives). Kept absolute deliberately:
+# the oracle runner's cwd is not part of the driver contract, so a
+# repo-relative path would silently break under any other cwd.
 GATE_PLANTED_DIR = os.path.join(_REPO, "testdata_planted", "sf0.01")
 
 # The two knobs the r12 planted sweep measured at sf1 (SCALING.md):
@@ -69,7 +80,19 @@ def _lsh_candidates(emb: DataFrame, n_tables: int, n_planes: int) -> DataFrame:
     """Banded sign-LSH candidate pairs — the same single-exchange
     (table, bucket) index shape as dedup._embedding_lsh_pairs, local to
     this module so registering the planted contract moves no existing
-    query's hash (the r13 zero-re-hash route, SURVEY §7 handoff)."""
+    query's hash (the r13 zero-re-hash route, SURVEY §7 handoff).
+
+    NO BUCKET CAP (r14, ADVICE): unlike the production LSH paths
+    (_SIM_BUCKET_CAP, dedup_lsh_bucket_census), this helper has no
+    per-bucket pair bound or census companion — a degenerate bucket's
+    C(n, 2) fan-out is structurally unbounded. Acceptable for the
+    fixed committed calibration fixture (max bucket is small and
+    pinned by the fixture md5), and TOLERATED for the sf1 scaling
+    runner, where the (3, 4) knob's 62M candidate pairs through a full
+    distinct are themselves the measurement being reported. Before
+    pointing this helper at any larger or uncontrolled corpus, add the
+    hot-bucket anti-join + census from operators/dedup.py
+    (lsh_pairs_from_index / lsh_census_from_index)."""
     from .similarity import lsh_bucket
 
     keys = F.array(
