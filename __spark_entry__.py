@@ -41,11 +41,20 @@ _CHECK_FIRST = [
     "copurchase_band_census",
     "copurchase_minhash_calibration",
     "ann_planted_recall_contract",
-    # --- Positions 4-48: the 45 queries last driver-verified in
-    # ROUND 8 — the entire remaining r8 staleness floor; after this
-    # round the freshness floor moves to r9. Position 49 is a spare
-    # slot (left empty: 49 listed + driver pads from queries()
-    # order, whose next entry is the r9 block below). ---
+    # --- Positions 4-6: the r14 OPTIMIZATION-round graph rewrites
+    # (results bit-identical by construction — k-core decremental
+    # peel, pagerank/LPA checkpoint truncation — but their code
+    # hashes moved, so the window invariant wants driver rows this
+    # round). The spare slot absorbs one; text_stopword_profile and
+    # user_weekly_survival are deferred to the r15 block below (they
+    # stay r8-stale, listed FIRST there so the next rotation picks
+    # them up). ---
+    "graph_pagerank",
+    "part_kcore_decomposition",
+    "part_label_propagation_communities",
+    # --- Positions 7-49: 43 of the 45 queries last driver-verified
+    # in ROUND 8; after this round the freshness floor is r8×2 (the
+    # two deferrals), then r9. ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
     "asof_join_cogrouped",
@@ -89,11 +98,12 @@ _CHECK_FIRST = [
     "statcan_revision_analysis",
     "stratified_sample_exact",
     "survey_ht_total_audit",
+    # --- everything below position 49 is driver-green from r8-r13;
+    # next-stalest first so future rotations read top-down: first the
+    # two r8 deferrals above, then the r9 block (r15 window
+    # material). ---
     "text_stopword_profile",
     "user_weekly_survival",
-    # --- everything below position 49 is driver-green from r9-r13;
-    # next-stalest first so future rotations read top-down: the r9
-    # block (43 queries — r15 window material). ---
     "agg_rollup_sales",
     "asof_join_purchase_to_view",
     "atkinson_inequality_by_nation",
@@ -114,7 +124,6 @@ _CHECK_FIRST = [
     "nation_trade_balance",
     "orders_chain_ladder_completion",
     "orders_kaplan_meier_ship_latency",
-    "part_label_propagation_communities",
     "pipeline_topk_per_segment",
     "price_qty_regression_by_type",
     "q18_large_orders",

@@ -71,18 +71,21 @@ def test_shuffle_budget_headline_queries(spark, sf_small):
 
 def test_lpa_edges_shuffle_once_not_per_round(spark, sf_small):
     """part_label_propagation_communities runs 4 synchronized rounds,
-    each joining the edge table against the label state. The edge-side
-    shuffle must NOT be paid per round: AQE's exchange reuse dedupes
-    the identical edge subtree across the unrolled plan (measured: an
-    explicit repartition('src') is strictly WORSE — +1 exchange, +26%
-    shuffle bytes — so the declarative plan is the tuned one). Pin
-    both the total executed-exchange budget and that reuse actually
-    happened, so a refactor that breaks subtree identity (and silently
-    re-shuffles edges 4x) fails here."""
+    each joining the edge table against the label state. r14: the edge
+    table is materialized ONCE via a lazy localCheckpoint and rounds
+    1..3's label state is checkpointed too, so the visible (last-round)
+    plan reads checkpoint scans — the edge build (lineitem self-join)
+    appears in NO round's consumer plan, and the label state enters the
+    edge side as a broadcast, never a shuffle of edges. Pin the
+    truncated shape and the executed-exchange budget of the final
+    segment (label-side aggregates only)."""
     df = QUERIES["part_label_propagation_communities"](spark, sf_small)
     p = profile(df)
-    # measured 15 at tuning time: edge-build (pp distinct + small +
-    # pair agg) + ONE edge exchange + per-round label-side exchanges
-    assert p["n_exchanges"] <= 16, p
+    # final segment: nb groupBy + pick groupBy + output agg/sort —
+    # the edge exchange is paid once inside the checkpoint build, not
+    # here, and never per round
+    assert p["n_exchanges"] <= 6, p
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, "edge exchange must be reused across rounds"
+    assert "ExistingRDD" in plan, "edges/labels must come from checkpoints"
+    assert "BroadcastHashJoin" in plan, "label state must broadcast into edges"
+    assert "lineitem" not in plan, "edge build must not be re-derived per round"

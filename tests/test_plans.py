@@ -357,11 +357,19 @@ def test_centroids_by_label_partial_aggregation(spark, sf_small):
 def test_pagerank_rank_state_is_broadcast_per_iteration(spark, sf_small):
     """graph_pagerank: the O(|V|) rank state joins into the O(|E|)
     contribution side via broadcast — the edge table itself never
-    shuffles for a join; aggregations keep map-side partials."""
+    shuffles for a join; aggregations keep map-side partials. r14:
+    iterations 1..N-1 are lazily localCheckpoint'ed (plan truncation),
+    so the visible plan is the LAST iteration — identical by
+    construction to the hidden ones — reading the prior state from
+    checkpoint scans, with no lineitem file scan re-derivation."""
     plan = _plan(spark, "graph_pagerank", sf_small)
-    assert plan.count("BroadcastHashJoin") >= 3  # one rank join per iteration
+    assert plan.count("BroadcastHashJoin") >= 1  # the rank join, last iter
+    assert "ExistingRDD" in plan  # prior iterations feed in as checkpoints
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "lineitem" in ln]
+    assert not scans, "edge build must not be re-derived per iteration"
 
 
 def test_global_shuffle_rank_window_partitions_by_bucket(spark, sf_small):
