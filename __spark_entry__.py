@@ -52,9 +52,17 @@ _CHECK_FIRST = [
     "graph_pagerank",
     "part_kcore_decomposition",
     "part_label_propagation_communities",
-    # --- Positions 7-49: 43 of the 45 queries last driver-verified
-    # in ROUND 8; after this round the freshness floor is r8×2 (the
-    # two deferrals), then r9. ---
+    # --- Positions 7-8: the r14 copurchase edge-build rewrite
+    # (per-order sorted-array pair emit replaces the orderkey
+    # self-join — results bit-identical, parity-checked exact at
+    # sf0.1, but both closures hash the shared _copurchase_edges
+    # helper). Two more r8-stale deferrals (stratified_sample_exact,
+    # survey_ht_total_audit) move to the r15 block below. ---
+    "part_copurchase_triangles",
+    "copurchase_degree_distribution",
+    # --- Positions 9-49: 41 of the 45 queries last driver-verified
+    # in ROUND 8; after this round the freshness floor is r8×4 (the
+    # four deferrals), then r9. ---
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
     "asof_join_cogrouped",
@@ -96,12 +104,11 @@ _CHECK_FIRST = [
     "statcan_cell_suppression",
     "statcan_cv_quality_grades",
     "statcan_revision_analysis",
-    "stratified_sample_exact",
-    "survey_ht_total_audit",
     # --- everything below position 49 is driver-green from r8-r13;
     # next-stalest first so future rotations read top-down: first the
-    # two r8 deferrals above, then the r9 block (r15 window
-    # material). ---
+    # four r8 deferrals, then the r9 block (r15 window material). ---
+    "stratified_sample_exact",
+    "survey_ht_total_audit",
     "text_stopword_profile",
     "user_weekly_survival",
     "agg_rollup_sales",

@@ -276,17 +276,27 @@ items AS (
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct unordered part pairs sharing an order. Pair expansion is
-    bounded per order by that order's item count — never a cartesian."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    bounded per order by that order's item count — never a cartesian.
+
+    r14 (guide §2.3): pairs come from a SORTED per-order part array
+    (posexplode + suffix slice — the triangles wedge-emit shape) rather
+    than the orderkey self-join: one groupBy shuffle of the raw
+    (orderkey, partkey) rows replaces distinct-shuffle + join, and
+    exactly C(k, 2) rows are emitted per order with no join machinery.
+    Output is the identical distinct u < v edge set (the sorted array
+    guarantees u < v per emit; parity-checked exact at sf0.1, 1,196,000
+    edges). Interleaved A/B min-of-3: 1.51-1.62 → 1.12-1.24 s, new side
+    won every pair — and this build is paid by five bench members."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        per_order.select(F.posexplode("ps").alias("i", "u"), F.col("ps"))
+        .select(
+            "u",
+            F.explode(F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))).alias("v"),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
 
