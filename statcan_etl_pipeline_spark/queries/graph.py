@@ -505,17 +505,26 @@ def part_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Data
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
     )
-    pp = li.distinct()
-    small = pp.groupBy("ok").agg(F.count(F.lit(1)).alias("np")).filter(
-        F.col("np") <= _LPA_ORDER_CAP
-    ).select("ok")
-    a = pp.alias("a")
-    b = pp.alias("b")
+    # r14 (guide §2.3 — the _copurchase_edges precedent): weighted pairs
+    # come from each order's SORTED distinct part array (posexplode +
+    # suffix slice emits exactly C(k, 2) src < dst rows per order) with
+    # the ≤_LPA_ORDER_CAP filter applied to the array size — one groupBy
+    # shuffle replaces the pp distinct + per-order count + double join.
+    # w = number of orders containing both parts, identical because pp
+    # was distinct per (order, part). Parity-checked exact at sf0.1
+    # (1,063,648 weighted pairs); interleaved A/B min-of-3: pair build
+    # 1.37-3.38 → 1.00-1.18 s, new side won all three pairs.
+    per_order = li.groupBy("ok").agg(
+        F.sort_array(F.array_distinct(F.collect_list("part"))).alias("ps")
+    )
     pairs = (
-        a.join(small, "ok")
-        .join(b, "ok")
-        .filter(F.col("a.part") < F.col("b.part"))
-        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        per_order.filter(F.size("ps") <= _LPA_ORDER_CAP)
+        .select(F.posexplode("ps").alias("i", "src"), F.col("ps"))
+        .select(
+            "src",
+            F.explode(F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))).alias("dst"),
+        )
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     # r14 (guide §3.3/§5): the unrolled 4-round single plan carried 544
@@ -531,7 +540,7 @@ def part_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Data
             F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
         )
     ).localCheckpoint(eager=False)
-    labels = pp.select("part").distinct().select(
+    labels = li.select("part").distinct().select(
         F.col("part").alias("node"), F.col("part").cast("long").alias("lab")
     )
     for rnd in range(_LPA_ROUNDS):
