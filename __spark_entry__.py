@@ -60,11 +60,17 @@ _CHECK_FIRST = [
     # survey_ht_total_audit) move to the r15 block below. ---
     "part_copurchase_triangles",
     "copurchase_degree_distribution",
-    # --- Positions 9-49: 41 of the 45 queries last driver-verified
-    # in ROUND 8; after this round the freshness floor is r8×4 (the
-    # four deferrals), then r9. ---
-    "approx_distinct_parts_by_flag",
-    "approx_quantiles_order_value",
+    # --- Positions 9-10: the r14 single-query aggregate rewrites
+    # (agg_rollup_sales pre-aggregates lineitem per order before the
+    # join; tfidf_top_terms drops a redundant countDistinct — both
+    # parity-checked exact at sf0.1). Two more r8-stale deferrals
+    # (approx_distinct_parts_by_flag, approx_quantiles_order_value)
+    # move to the r15 block below. ---
+    "agg_rollup_sales",
+    "tfidf_top_terms",
+    # --- Positions 11-49: 39 of the 45 queries last driver-verified
+    # in ROUND 8; after this round the freshness floor is r8×6 (the
+    # six deferrals), then r9. ---
     "asof_join_cogrouped",
     "bom_explosion_recursive",
     "business_day_ship_latency",
@@ -106,12 +112,13 @@ _CHECK_FIRST = [
     "statcan_revision_analysis",
     # --- everything below position 49 is driver-green from r8-r13;
     # next-stalest first so future rotations read top-down: first the
-    # four r8 deferrals, then the r9 block (r15 window material). ---
+    # six r8 deferrals, then the r9 block (r15 window material). ---
     "stratified_sample_exact",
     "survey_ht_total_audit",
     "text_stopword_profile",
     "user_weekly_survival",
-    "agg_rollup_sales",
+    "approx_distinct_parts_by_flag",
+    "approx_quantiles_order_value",
     "asof_join_purchase_to_view",
     "atkinson_inequality_by_nation",
     "boilerplate_ngram_ratio",
@@ -150,7 +157,6 @@ _CHECK_FIRST = [
     "text_quality_score",
     "text_rake_keywords",
     "text_stats",
-    "tfidf_top_terms",
     "tukey_hsd_pairwise",
     "window_top3_parts_per_supplier",
 ]

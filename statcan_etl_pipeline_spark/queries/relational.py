@@ -499,15 +499,26 @@ def agg_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup's Expand runs over ~|nations×years| rows instead of the raw
     # join (measured 2.7× at sf0.1). Revenue stays exact integer cents
     # until the final division.
+    # r14 (guide §2.3 — partial aggregation before the join): lineitem
+    # first collapses to one exact integer-cent revenue row PER ORDER,
+    # so the order/customer join moves ~4× fewer rows and the leaf's
+    # countDistinct(o_orderkey) becomes a plain count(*) (each order
+    # contributes exactly one row). Revenue is identical — integer
+    # cents are associative — and the order set is unchanged (orders
+    # without lineitems appear in neither shape). Interleaved A/B
+    # min-of-3 won all three pairs: 2.16/1.41/1.33 → 1.14/0.92/0.86 s.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents(_revenue())).alias("rev_c")
+    )
     leaf = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("n_name", "o_year")
         .agg(
-            F.sum(cents(_revenue())).alias("rev_c"),
-            F.countDistinct("o_orderkey").alias("n_o"),
+            F.sum("rev_c").alias("rev_c"),
+            F.count(F.lit(1)).alias("n_o"),
         )
     )
     return (
