@@ -68,15 +68,23 @@ _CHECK_FIRST = [
     # move to the r15 block below. ---
     "agg_rollup_sales",
     "tfidf_top_terms",
-    # --- Positions 11-49: 39 of the 45 queries last driver-verified
-    # in ROUND 8; after this round the freshness floor is r8×6 (the
-    # six deferrals), then r9. ---
-    "asof_join_cogrouped",
-    "bom_explosion_recursive",
-    "business_day_ship_latency",
-    "collated_segment_rollup",
-    "corpus_cross_source_overlap",
-    "customer_value_migration",
+    # --- Positions 11-16: consumers of the r14 operator rewrites in
+    # operators/dedup.py (jaccard_pairs and lsh_pairs_from_index moved
+    # to the sorted-array pair emit — outputs bit-identical,
+    # parity-checked exact at sf0.1). The v2 hash closure does NOT
+    # fold in cross-module helpers (the documented r10 gap), so these
+    # hashes did not move; rotated in anyway per the SURVEY §5
+    # changed-code-gets-driver-evidence convention. Six more r8-stale
+    # deferrals move to the r15 block below. ---
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_connected_groups",
+    "dedup_cluster_size_census",
+    "minhash_jaccard_calibration",
+    "dedup_token_savings_by_source",
+    # --- Positions 17-49: 33 of the 45 queries last driver-verified
+    # in ROUND 8; after this round the freshness floor is r8×12 (the
+    # twelve deferrals), then r9. ---
     "doc_novelty_by_order",
     "doc_script_mix",
     "doc_token_arrow_stats",
@@ -119,6 +127,12 @@ _CHECK_FIRST = [
     "user_weekly_survival",
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
+    "asof_join_cogrouped",
+    "bom_explosion_recursive",
+    "business_day_ship_latency",
+    "collated_segment_rollup",
+    "corpus_cross_source_overlap",
+    "customer_value_migration",
     "asof_join_purchase_to_view",
     "atkinson_inequality_by_nation",
     "boilerplate_ngram_ratio",

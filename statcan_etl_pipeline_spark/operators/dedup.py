@@ -149,28 +149,32 @@ def lsh_pairs_from_index(
     (r14) so callers that build the (doc_id, band, key) index
     themselves — e.g. the copurchase queries' slim agg-time banding in
     queries/analytics3.py, which never materializes the n_hashes
-    minhash columns — reuse the identical capped self-join instead of
-    duplicating it. Semantics and plan are exactly the pre-split body;
-    see `lsh_candidate_pairs` for the cap/checkpoint rationale."""
+    minhash columns — reuse the identical capped pair emit instead of
+    duplicating it. See `lsh_candidate_pairs` for the cap rationale.
+
+    r14 (guide §2.3 — the _copurchase_edges precedent): each bucket's
+    SORTED doc array (one groupBy shuffle) emits exactly C(n, 2)
+    doc_a < doc_b rows via posexplode + suffix slice, replacing the
+    (band, key) self-join. The bucket cap becomes a filter on the
+    array length — the same bucket exclusion the old hot-bucket
+    broadcast anti-join computed, without the extra aggregate pass or
+    the localCheckpoint (the index now has exactly ONE consumer).
+    Per-row memory is O(bucket size), bounded by the cap when one is
+    given. Pair set bit-identical (parity-checked exact at sf0.1,
+    11,278 capped pairs); won all four interleaved A/B pairs."""
+    per_bucket = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     if max_bucket_size is not None:
-        banded = banded.localCheckpoint(eager=False)
-        hot = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "key")
-        )
-        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
-    a = banded.alias("a")
-    b = banded.alias("b")
+        per_bucket = per_bucket.filter(F.size("ds") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        per_bucket.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))).alias(
+                "doc_b"
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -249,25 +253,29 @@ def jaccard_pairs(
     The oracle SQL mirrors the cap exactly, so parity is unaffected
     (max df at sf0.1 is 25 — far under the cap)."""
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # the HOT set is tiny by construction (#shingles with df > cap is at
-    # most total_occurrences/cap), so exclude it with a BROADCAST
-    # anti-join — the df count is the only extra shuffle; the inverted
-    # index itself is never re-shuffled for the filter
-    hot = (
-        shingled.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("sh")
+    # r14 (guide §2.3 — the _copurchase_edges precedent): the inverted
+    # index is each shingle's SORTED doc array (one groupBy shuffle);
+    # posexplode + suffix slice emits exactly C(df, 2) doc_a < doc_b
+    # rows per shingle, replacing the hot-shingle df aggregate, the
+    # broadcast anti-join AND the sh self-join. The df cap becomes a
+    # filter on the array length — identical exclusion (df = array
+    # size: shingled is distinct per (doc, sh)). Per-row memory is
+    # O(df), bounded by df_cap. Pair set bit-identical (parity-checked
+    # exact at sf0.1, 590 scored pairs); won all four interleaved A/B
+    # pairs (avg-of-mins 1.93 → 1.37 s).
+    per_sh = shingled.groupBy("sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    indexed = shingled.join(F.broadcast(hot), "sh", "left_anti")
-    a = indexed.alias("a")
-    b = indexed.alias("b")
     common = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        per_sh.filter(F.size("ds") <= df_cap)
+        .select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + F.lit(2), F.size("ds"))).alias(
+                "doc_b"
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
