@@ -372,44 +372,40 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    # r11: wedges come from SORTED per-pivot adjacency arrays — exactly
-    # C(outdeg, 2) rows emitted (posexplode + suffix slice), where the
-    # former self-join streamed outdeg² rows through the join machinery
-    # before the x < y filter halved them. The collect_list shuffle is
-    # |E| rows vs the self-join's |E|-row exchange, so wedge generation
-    # is strictly cheaper; outdeg is bounded by O(sqrt|E|) under degree
-    # orientation, so no adjacency array is pathological.
+    # r11 built the sorted per-pivot adjacency arrays and closed WEDGES
+    # against the canonical edge form (posexplode'd C(outdeg, 2) wedge
+    # stream → shuffle_hash left-semi probe). r14: the wedge stream is
+    # never materialized at all — triangles are counted EDGE-ITERATOR
+    # style (guide §2.3/§2.4: the wedge rows existed only to decide
+    # membership, so ship the per-pivot adjacency ARRAY once instead of
+    # its C(outdeg, 2) expansion): for each oriented edge (s, t),
+    # n_triangles += |N⁺(s) ∩ N⁺(t)| — every triangle {a<b<c in degree
+    # order} is counted exactly once, on its (a, b) edge. The two
+    # adjacency joins ship Σ_e (outdeg(s)+outdeg(t)) ≈ 2·|wedges| array
+    # ELEMENTS (8-byte longs, batched per row) where the old shape
+    # shuffled |wedges| 16-byte ROWS into the semi join plus sorted/
+    # hashed them — half the bytes, no 346M-row-at-sf1 stream through
+    # the join machinery, and the per-edge array_intersect does the
+    # probe in one hash set per row. outdeg ≤ O(√|E|) under degree
+    # orientation bounds per-row memory. Parity exact at sf0.1
+    # (1,884,488 triangles) and sf1 (12,421,656). Interleaved A/B,
+    # min-of-N over clean pairs: sf0.1 7.8-9.4 → 5.9-6.7 s (won all 4
+    # clean pairs, 2 sessions); sf1 44.4/69.4 → 26.3/27.2 s (~1.7-2.6×).
     adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("ts"))
-    wedges = adj.select(
-        F.posexplode("ts").alias("i", "x"), F.col("ts")
-    ).select(
-        "x",
-        F.explode(
-            F.slice("ts", F.col("i") + F.lit(2), F.size("ts"))
-        ).alias("y"),
+    common = (
+        oriented.join(adj, "s")
+        .join(
+            adj.select(F.col("s").alias("t"), F.col("ts").alias("ts_t")),
+            "t",
+            "left",  # a max-degree-orientation sink has no out-edges
+        )
+        .select(
+            F.size(
+                F.array_intersect(F.col("ts"), F.coalesce("ts_t", F.array()))
+            ).alias("c")
+        )
     )
-    # r11: close the wedge with ONE semi join against the NUMERICALLY
-    # canonical edge form. Wedge ends satisfy x < y by construction and
-    # each undirected edge exists in exactly one degree orientation, so
-    # the closing edge is present iff (least(s,t), greatest(s,t)) =
-    # (x, y) — the old either-orientation double probe ran the wedge
-    # generation (the dominant term) TWICE via unionAll (exchange reuse
-    # does not cover a unionAll of two distinct semi-join plans). The
-    # shuffle_hash hint builds the per-partition hash on the |E|-row
-    # canonical side instead of SORTING the |wedges|-row stream for a
-    # merge join — wedges outnumber edges ~30x here (346M vs 11M at
-    # sf1). Interleaved same-session A/B at sf1 (this box's ambient
-    # throughput drifts minute-to-minute, so only interleaved min-of-N
-    # counts): old shape 212/114/46.5 s vs this shape 54/18.6/18.3 s —
-    # min-of-3 2.5x, first-run 3.9x. No broadcast: the edge list grows
-    # linearly with scale, so a broadcast hint here would break at the
-    # 8 GB limit — the hash build is per-partition and scales with the
-    # shuffle partition count.
-    o_canon = oriented.select(
-        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
-    )
-    closed = wedges.join(o_canon.hint("shuffle_hash"), ["x", "y"], "left_semi")
-    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    tri = common.agg(F.sum("c").cast("long").alias("n_triangles"))
     summary = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         # exact long sum of the (even) wedge count, halved AFTER the agg

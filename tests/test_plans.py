@@ -430,17 +430,20 @@ def test_triangle_census_no_cartesian(spark, sf_small):
             assert "Cross" in ln, ln
 
 
-def test_triangle_census_single_close_probe(spark, sf_small):
-    """The r11 rewrite closes every wedge with ONE LeftSemi probe of
-    the numerically-canonical edge form; a second semi join means the
-    either-orientation double probe (which runs wedge generation twice
-    via unionAll) regressed back in. Wedges must also come from the
-    posexplode'd adjacency arrays, not a self-join — the plan carries
-    exactly one Generate explode over the sorted suffix slice."""
+def test_triangle_census_edge_iterator_no_wedge_stream(spark, sf_small):
+    """The r14 rewrite counts triangles edge-iterator style: each
+    oriented edge intersects the two sorted adjacency arrays
+    (array_intersect), so the plan carries NO materialized wedge
+    stream — no posexplode'd suffix-slice Generate (the only
+    explode(slice(...)) lives inside the checkpointed edge build,
+    invisible here) and no LeftSemi close probe (the r11 shape). A
+    Generate or LeftSemi reappearing means the C(outdeg, 2) wedge
+    expansion regressed back into the shuffle."""
     plan = _plan(spark, "part_copurchase_triangles", sf_small)
-    assert plan.count("LeftSemi") == 1, plan
+    assert "array_intersect" in plan, plan
+    assert "LeftSemi" not in plan, plan
     gens = [ln for ln in plan.splitlines() if "Generate explode(slice(" in ln]
-    assert len(gens) == 1, plan
+    assert not gens, plan
 
 
 def test_kcore_edge_set_shrinks_not_rejoins(spark, sf_small):
