@@ -21,6 +21,8 @@ is flat instead of the unrolled 146-Exchange tree.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -247,6 +249,26 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         )
 
 
+# Broadcast guard for the k-core decrement join (r15, VERDICT r14
+# item 4a/8): a removed set this large falls back to a shuffle join
+# instead of forcing a broadcast that could exceed executor memory /
+# the 8 GB broadcast cap at 100 TB. 4M longs ≈ 32 MB framed — inside
+# the session's 64 MB autoBroadcastJoinThreshold, far under the hard
+# cap. Env-parameterised so a cluster can lower it to its own memory
+# budget; the gate-SF removed sets are ≤ O(10^4), so the local plan
+# keeps the broadcast (pinned in tests/test_plans.py).
+_KCORE_BCAST_MAX_REMOVED = int(
+    os.environ.get("SPARK_GRAFT_KCORE_BCAST_MAX", 4_000_000)
+)
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """`broadcast(df)` when `n_rows` (already counted by the caller's
+    convergence check — no extra action) is within the guard, else the
+    frame unchanged so the planner picks a shuffle join."""
+    return F.broadcast(df) if n_rows <= _KCORE_BCAST_MAX_REMOVED else df
+
+
 def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
     """Shared DECREMENTAL peel (r14, guide §2.4): instead of re-joining
     the surviving edge set against the alive set twice per round (two
@@ -274,7 +296,12 @@ def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
     """
     from .analytics3 import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    # r15: every peel checkpoint is LAZY (the pagerank precedent, guide
+    # §5) — the per-round convergence count is the action that
+    # materializes it, so each round costs ONE job instead of two
+    # (eager-checkpoint job + count job); 12 rounds drop from ~27
+    # scheduled actions to ~13
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg0 = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -293,22 +320,30 @@ def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
     cur = (
         deg0.select("node", F.col("d").alias("c"))
         .crossJoin(F.broadcast(kdf))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     alive = cur.filter(F.col("c") >= F.col("k"))
     removed = cur.filter(F.col("c") < F.col("k")).select("node")
     rounds_done = 1
-    converged = removed.count() == 0
+    n_removed = removed.count()
+    converged = n_removed == 0
     prev_spent = cur
     while not converged and rounds_done < max_rounds:
+        # the removed set is usually tiny after round 1, but a
+        # first-round mass removal (k above the modal degree) can be
+        # O(|V|); guard the broadcast with the count the convergence
+        # check already paid for (VERDICT r14 item 4a) — above the
+        # threshold the decrement join falls back to a shuffle join
+        rem_u = _maybe_broadcast(
+            removed.select(F.col("node").alias("u")), n_removed
+        )
+        rem_v = _maybe_broadcast(
+            removed.select(F.col("node").alias("v")), n_removed
+        )
         dec = (
-            edges.join(F.broadcast(removed.select(F.col("node").alias("u"))), "u")
+            edges.join(rem_u, "u")
             .select(F.col("v").alias("node"))
-            .unionAll(
-                edges.join(
-                    F.broadcast(removed.select(F.col("node").alias("v"))), "v"
-                ).select(F.col("u").alias("node"))
-            )
+            .unionAll(edges.join(rem_v, "v").select(F.col("u").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("dc"))
         )
@@ -319,17 +354,20 @@ def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
                 (F.col("c") - F.coalesce(F.col("dc"), F.lit(0))).alias("c"),
                 "k",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        alive = new.filter(F.col("c") >= F.col("k"))
+        removed = new.filter(F.col("c") < F.col("k")).select("node")
+        rounds_done += 1
+        # this count MATERIALIZES `new`'s lazy checkpoint (it reads
+        # `prev_spent`'s blocks while doing so — free prev only after)
+        n_removed = removed.count()
         # the previous round's degree blocks are dead once `new` is
         # materialized (r12 ADVICE precedent) — free them now so pinned
         # frames stay O(1), not O(rounds)
         _free_local_checkpoint(prev_spent)
         prev_spent = new
-        alive = new.filter(F.col("c") >= F.col("k"))
-        removed = new.filter(F.col("c") < F.col("k")).select("node")
-        rounds_done += 1
-        converged = removed.count() == 0
+        converged = n_removed == 0
     return edges, kdf, nodes, alive.select("node"), converged, rounds_done
 
 

