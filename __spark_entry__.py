@@ -28,105 +28,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-hash-verified and newly added queries first; queries already
 # hash-verified in a prior round's CORRECTNESS_r*.json come after.
 _CHECK_FIRST = [
-    # --- ROUND 14 WINDOW (VERDICT r13 item 1). Positions 0-3: this
-    # round's changed + new queries (scripts/check_window.py enforces
-    # in-window): the copurchase pair rewired onto the slim
-    # Kirsch-Mitzenmacher banded index (VERDICT r13 item 2 — the
-    # census `weak` fix; oracle rewritten to mirror, see
-    # queries/analytics3.py), the NEW copurchase_minhash_calibration
-    # estimator-quality contract for that family, and
-    # ann_planted_recall_contract (its _lsh_candidates helper gained
-    # the no-bucket-cap ADVICE docstring). ---
-    "copurchase_part_similarity",
-    "copurchase_band_census",
-    "copurchase_minhash_calibration",
-    "ann_planted_recall_contract",
-    # --- Positions 4-6: the r14 OPTIMIZATION-round graph rewrites
-    # (results bit-identical by construction — k-core decremental
-    # peel, pagerank/LPA checkpoint truncation — but their code
-    # hashes moved, so the window invariant wants driver rows this
-    # round). The spare slot absorbs one; text_stopword_profile and
-    # user_weekly_survival are deferred to the r15 block below (they
-    # stay r8-stale, listed FIRST there so the next rotation picks
-    # them up). ---
-    "graph_pagerank",
+    # --- ROUND 15 WINDOW (VERDICT r14 item 3). Positions 0-3: this
+    # round's changed queries — the dedup-below-verify rewrite in
+    # _embedding_lsh_pairs (both consumers; results bit-identical,
+    # parity-checked exact at sf0.1, see OPTIMIZATION_r15.md item 4),
+    # the k-core broadcast-guard edit (join-strategy only, results
+    # bit-identical), and part_copurchase_triangles (hash moved vs the
+    # r14 snapshot; its current code was already driver-verified green
+    # in CORRECTNESS_r14 — kept in-window for the snapshot refresh). ---
+    "dedup_embedding_lsh",
+    "dedup_embedding_groups",
     "part_kcore_decomposition",
-    "part_label_propagation_communities",
-    # --- Positions 7-8: the r14 copurchase edge-build rewrite
-    # (per-order sorted-array pair emit replaces the orderkey
-    # self-join — results bit-identical, parity-checked exact at
-    # sf0.1, but both closures hash the shared _copurchase_edges
-    # helper). Two more r8-stale deferrals (stratified_sample_exact,
-    # survey_ht_total_audit) move to the r15 block below. ---
     "part_copurchase_triangles",
-    "copurchase_degree_distribution",
-    # --- Positions 9-10: the r14 single-query aggregate rewrites
-    # (agg_rollup_sales pre-aggregates lineitem per order before the
-    # join; tfidf_top_terms drops a redundant countDistinct — both
-    # parity-checked exact at sf0.1). Two more r8-stale deferrals
-    # (approx_distinct_parts_by_flag, approx_quantiles_order_value)
-    # move to the r15 block below. ---
-    "agg_rollup_sales",
-    "tfidf_top_terms",
-    # --- Positions 11-16: consumers of the r14 operator rewrites in
-    # operators/dedup.py (jaccard_pairs and lsh_pairs_from_index moved
-    # to the sorted-array pair emit — outputs bit-identical,
-    # parity-checked exact at sf0.1). The v2 hash closure does NOT
-    # fold in cross-module helpers (the documented r10 gap), so these
-    # hashes did not move; rotated in anyway per the SURVEY §5
-    # changed-code-gets-driver-evidence convention. Six more r8-stale
-    # deferrals move to the r15 block below. ---
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_connected_groups",
-    "dedup_cluster_size_census",
-    "minhash_jaccard_calibration",
-    "dedup_token_savings_by_source",
-    # --- Positions 17-49: 33 of the 45 queries last driver-verified
-    # in ROUND 8; after this round the freshness floor is r8×12 (the
-    # twelve deferrals), then r9. ---
-    "doc_novelty_by_order",
-    "doc_script_mix",
-    "doc_token_arrow_stats",
-    "embedding_interclass_similarity",
-    "er_supplier_name_pairs",
-    "events_autocorr_lags",
-    "events_cusum_drift",
-    "events_error_alert_transitions",
-    "events_error_pchart",
-    "events_ewma_daily",
-    "events_hour_of_week_profile",
-    "events_multitouch_attribution",
-    "events_ohlc_hourly",
-    "events_value_quartile_bands",
-    "events_zseason_weekday_lift",
-    "join_key_skew_report",
-    "lineitem_quantity_mode_profile",
-    "lineitem_tax_audit",
-    "multimodal_frame_catalog",
-    "ngram_pmi_collocations",
-    "orders_backlog_aging",
-    "orders_calendar_spine_recursive",
-    "orders_column_profile",
-    "orders_latency_qq_by_priority",
-    "orders_priority_mix_shift",
-    "part_brand_price_ladder",
-    "price_index_fisher",
-    "revenue_contribution_growth",
-    "session_top_paths",
-    "statcan_calendarization",
-    "statcan_cell_suppression",
-    "statcan_cv_quality_grades",
-    "statcan_revision_analysis",
-    # --- everything below position 49 is driver-green from r8-r13;
-    # next-stalest first so future rotations read top-down: first the
-    # six r8 deferrals, then the r9 block (r15 window material). ---
+    # --- Positions 4-9: the six r8-stale deferrals (VERDICT r14
+    # item 4c / r15 item 3) — the freshness floor moves to r9. ---
     "stratified_sample_exact",
     "survey_ht_total_audit",
     "text_stopword_profile",
     "user_weekly_survival",
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
+    # --- Positions 10-49: the r9 block, next-stalest first (40 of
+    # 46; the remaining six lead the tail below for the r16 window). ---
     "asof_join_cogrouped",
     "bom_explosion_recursive",
     "business_day_ship_latency",
@@ -167,14 +90,64 @@ _CHECK_FIRST = [
     "survey_jackknife_variance",
     "survey_neyman_allocation",
     "survey_winsorized_total",
+    # --- everything below position 49 is driver-green from r9-r14;
+    # next-stalest first so future rotations read top-down: the six
+    # remaining r9 names, then the 48 members verified in r14. ---
     "text_fingerprint",
     "text_quality_score",
     "text_rake_keywords",
     "text_stats",
     "tukey_hsd_pairwise",
     "window_top3_parts_per_supplier",
+    "copurchase_part_similarity",
+    "copurchase_band_census",
+    "copurchase_minhash_calibration",
+    "ann_planted_recall_contract",
+    "graph_pagerank",
+    "part_label_propagation_communities",
+    "copurchase_degree_distribution",
+    "agg_rollup_sales",
+    "tfidf_top_terms",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_connected_groups",
+    "dedup_cluster_size_census",
+    "minhash_jaccard_calibration",
+    "dedup_token_savings_by_source",
+    "doc_novelty_by_order",
+    "doc_script_mix",
+    "doc_token_arrow_stats",
+    "embedding_interclass_similarity",
+    "er_supplier_name_pairs",
+    "events_autocorr_lags",
+    "events_cusum_drift",
+    "events_error_alert_transitions",
+    "events_error_pchart",
+    "events_ewma_daily",
+    "events_hour_of_week_profile",
+    "events_multitouch_attribution",
+    "events_ohlc_hourly",
+    "events_value_quartile_bands",
+    "events_zseason_weekday_lift",
+    "join_key_skew_report",
+    "lineitem_quantity_mode_profile",
+    "lineitem_tax_audit",
+    "multimodal_frame_catalog",
+    "ngram_pmi_collocations",
+    "orders_backlog_aging",
+    "orders_calendar_spine_recursive",
+    "orders_column_profile",
+    "orders_latency_qq_by_priority",
+    "orders_priority_mix_shift",
+    "part_brand_price_ladder",
+    "price_index_fisher",
+    "revenue_contribution_growth",
+    "session_top_paths",
+    "statcan_calendarization",
+    "statcan_cell_suppression",
+    "statcan_cv_quality_grades",
+    "statcan_revision_analysis",
 ]
-
 
 
 

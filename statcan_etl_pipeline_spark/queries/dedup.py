@@ -526,11 +526,20 @@ def _embedding_lsh_pairs(
     )
     a = banded.select(F.col("vec_id").alias("vec_a"), "t", "bk")
     b = banded.select(F.col("vec_id").alias("vec_b"), "t", "bk")
+    # r15 (guide §2.4 — remove the exchange outright): the cross-table
+    # dedup moves BELOW the verify. The OR-3 duplicate rate is ~2.6%
+    # at sf0.1 (370,588 raw vs 361,099 distinct bucket pairs), so
+    # deduplicating BEFORE the verify paid a full shuffle + two hash
+    # aggregates over every candidate to save 2.6% of the cosine folds;
+    # the cosine is deterministic per pair, so distinct-on-output
+    # (~400 survivor rows after the τ filter) collapses the duplicates
+    # to the identical pair set. Pair set + output parity-checked
+    # exact; both consumers (dedup_embedding_lsh, dedup_embedding_
+    # groups) oracle-MATCH at sf0.001/sf0.01.
     cand = (
         a.join(b, ["t", "bk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
     with_norm = emb.select(
         "vec_id",
@@ -554,6 +563,7 @@ def _embedding_lsh_pairs(
             daa="daa", dbb="dbb", min_value=COS_TAU,
         )
         .select("vec_a", "vec_b", "cosine")
+        .distinct()
     )
 
 

@@ -296,12 +296,13 @@ def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
     """
     from .analytics3 import _copurchase_edges
 
-    # r15: every peel checkpoint is LAZY (the pagerank precedent, guide
-    # §5) — the per-round convergence count is the action that
-    # materializes it, so each round costs ONE job instead of two
-    # (eager-checkpoint job + count job); 12 rounds drop from ~27
-    # scheduled actions to ~13
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # r15 MEASURED REFUSAL: making every peel checkpoint LAZY (the
+    # pagerank precedent — count materializes the round, halving
+    # scheduled actions 2/round → 1/round) lost all three interleaved
+    # A/B pairs at sf0.1 (OLD 6.31/6.17/6.38 s vs LAZY 6.78/6.36/6.53
+    # min-of-3): the fused compute+persist+count job costs more than
+    # the saved scheduler round-trip on blocks this size. Eager stays.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     deg0 = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -320,7 +321,7 @@ def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
     cur = (
         deg0.select("node", F.col("d").alias("c"))
         .crossJoin(F.broadcast(kdf))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     alive = cur.filter(F.col("c") >= F.col("k"))
     removed = cur.filter(F.col("c") < F.col("k")).select("node")
@@ -354,19 +355,17 @@ def _kcore_delta_peel(spark: SparkSession, sf_dir: str, max_rounds: int):
                 (F.col("c") - F.coalesce(F.col("dc"), F.lit(0))).alias("c"),
                 "k",
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
-        alive = new.filter(F.col("c") >= F.col("k"))
-        removed = new.filter(F.col("c") < F.col("k")).select("node")
-        rounds_done += 1
-        # this count MATERIALIZES `new`'s lazy checkpoint (it reads
-        # `prev_spent`'s blocks while doing so — free prev only after)
-        n_removed = removed.count()
         # the previous round's degree blocks are dead once `new` is
         # materialized (r12 ADVICE precedent) — free them now so pinned
         # frames stay O(1), not O(rounds)
         _free_local_checkpoint(prev_spent)
         prev_spent = new
+        alive = new.filter(F.col("c") >= F.col("k"))
+        removed = new.filter(F.col("c") < F.col("k")).select("node")
+        rounds_done += 1
+        n_removed = removed.count()
         converged = n_removed == 0
     return edges, kdf, nodes, alive.select("node"), converged, rounds_done
 
