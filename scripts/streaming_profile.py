@@ -77,15 +77,10 @@ def _profile(spark, name: str, df) -> dict:
         if p.get("stateOperators"):
             last_state = p["stateOperators"]
             break
-    plan = ""
     try:
-        plan = q.explainInternal(True)
-    except Exception:
-        try:
-            le = q._jsq.lastExecution()
-            plan = le.executedPlan().toString()
-        except Exception:
-            plan = "(plan unavailable)"
+        plan = q._jsq.explainInternal(True)
+    except Exception as e:
+        plan = f"(plan unavailable: {e})"
     census = {
         "Exchange": plan.count("Exchange"),
         "StateStoreSave": plan.count("StateStoreSave"),
