@@ -405,7 +405,13 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    tri = common.agg(F.sum("c").cast("long").alias("n_triangles"))
+    # coalesce preserves the 0-on-empty contract (r15, ADVICE r14):
+    # sum() over an empty edge set is NULL where the oracle's count(*)
+    # is 0 — unreachable at any TPC-H SF, but a latent divergence on
+    # degenerate input
+    tri = common.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
+    )
     summary = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         # exact long sum of the (even) wedge count, halved AFTER the agg
