@@ -40,6 +40,16 @@ _CHECK_FIRST = [
     "dedup_embedding_groups",
     "part_kcore_decomposition",
     "part_copurchase_triangles",
+    # --- Positions 4-6: the r15 lsh_pairs_from_index dedup=False
+    # change — copurchase_part_similarity's hash moved (same-module
+    # helper); dedup_minhash_lsh + minhash_jaccard_calibration are the
+    # operator's most-direct consumers (default path byte-equivalent,
+    # rotated in per the SURVEY §5 changed-code-gets-driver-evidence
+    # convention; the cross-module v2 hash gap means their hashes did
+    # not move). Three r9-block members defer to the tail for r16. ---
+    "copurchase_part_similarity",
+    "dedup_minhash_lsh",
+    "minhash_jaccard_calibration",
     # --- Positions 4-9: the six r8-stale deferrals (VERDICT r14
     # item 4c / r15 item 3) — the freshness floor moves to r9. ---
     "stratified_sample_exact",
@@ -99,7 +109,6 @@ _CHECK_FIRST = [
     "text_stats",
     "tukey_hsd_pairwise",
     "window_top3_parts_per_supplier",
-    "copurchase_part_similarity",
     "copurchase_band_census",
     "copurchase_minhash_calibration",
     "ann_planted_recall_contract",
@@ -109,10 +118,8 @@ _CHECK_FIRST = [
     "agg_rollup_sales",
     "tfidf_top_terms",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_connected_groups",
     "dedup_cluster_size_census",
-    "minhash_jaccard_calibration",
     "dedup_token_savings_by_source",
     "doc_novelty_by_order",
     "doc_script_mix",

@@ -143,7 +143,8 @@ def lsh_candidate_pairs(
 
 
 def lsh_pairs_from_index(
-    banded: DataFrame, max_bucket_size: int | None = None
+    banded: DataFrame, max_bucket_size: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """The pair-generation stage of `lsh_candidate_pairs`, split out
     (r14) so callers that build the (doc_id, band, key) index
@@ -161,13 +162,23 @@ def lsh_pairs_from_index(
     the localCheckpoint (the index now has exactly ONE consumer).
     Per-row memory is O(bucket size), bounded by the cap when one is
     given. Pair set bit-identical (parity-checked exact at sf0.1,
-    11,278 capped pairs); won all four interleaved A/B pairs."""
+    11,278 capped pairs); won all four interleaved A/B pairs.
+
+    `dedup=False` (r15, guide §2.4) skips the cross-band distinct and
+    returns the RAW emit — one row per (pair, colliding band). A caller
+    whose downstream per-pair computation is deterministic can
+    deduplicate AFTER its own verify instead, turning the emit into one
+    unbroken pipeline into the verify joins (no 16-byte-per-pair
+    shuffle, no HashAggregate barrier over the candidate stream). Only
+    correct when the caller DOES dedup before anything that counts
+    rows; the default keeps the distinct-pairs contract every existing
+    consumer relies on."""
     per_bucket = banded.groupBy("band", "key").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
     if max_bucket_size is not None:
         per_bucket = per_bucket.filter(F.size("ds") <= max_bucket_size)
-    return (
+    raw = (
         per_bucket.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
         .select(
             "doc_a",
@@ -175,8 +186,8 @@ def lsh_pairs_from_index(
                 "doc_b"
             ),
         )
-        .distinct()
     )
+    return raw.distinct() if dedup else raw
 
 
 def lsh_bucket_census(

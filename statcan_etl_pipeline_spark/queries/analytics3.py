@@ -1149,7 +1149,17 @@ def _banded_similarity(
         F.col("nbr").alias("doc_id"), F.col("node").cast("string").alias("sh")
     )
     banded = _sim_banded_index(shingled, n_hashes, band_rows)
-    cand = lsh_pairs_from_index(banded, bucket_cap).select(
+    # r15 (guide §2.4 — the dedup_embedding_lsh precedent): the
+    # cross-band duplicate rate is 1.009 at sf0.1 (446,540 raw vs
+    # 442,752 distinct pairs), so the pre-verify distinct paid a full
+    # 16-byte-per-pair shuffle + HashAggregate barrier over the whole
+    # candidate stream to save 0.9% of the verifies. dedup=False keeps
+    # the emit pipelined straight into the verify joins; every verify
+    # column (common, degrees, jaccard) is a deterministic function of
+    # the pair, so the distinct at the END collapses the duplicate
+    # rows to the identical result set (parity EQUAL at sf0.1; A/B won
+    # all pairs, 9.9-16.6 → 7.0-7.7 s).
+    cand = lsh_pairs_from_index(banded, bucket_cap, dedup=False).select(
         F.col("doc_a").alias("part_x"), F.col("doc_b").alias("part_y")
     )
     # EXACT verify on candidates only: |N(x) ∩ N(y)| via array_intersect
@@ -1190,6 +1200,10 @@ def _banded_similarity(
             "deg_y",
             pround(jac, 6).alias("jaccard"),
         )
+        # collapses the dedup=False emit's per-band duplicates (every
+        # column is pair-deterministic); runs over the τ-survivors
+        # only, not the 446k-pair candidate stream
+        .distinct()
         .orderBy("part_x", "part_y")
     )
 
