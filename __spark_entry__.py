@@ -50,7 +50,7 @@ _CHECK_FIRST = [
     "copurchase_part_similarity",
     "dedup_minhash_lsh",
     "minhash_jaccard_calibration",
-    # --- Positions 4-9: the six r8-stale deferrals (VERDICT r14
+    # --- Positions 7-12: the six r8-stale deferrals (VERDICT r14
     # item 4c / r15 item 3) — the freshness floor moves to r9. ---
     "stratified_sample_exact",
     "survey_ht_total_audit",
@@ -58,8 +58,10 @@ _CHECK_FIRST = [
     "user_weekly_survival",
     "approx_distinct_parts_by_flag",
     "approx_quantiles_order_value",
-    # --- Positions 10-49: the r9 block, next-stalest first (40 of
-    # 46; the remaining six lead the tail below for the r16 window). ---
+    # --- Positions 13-49: the r9 block, next-stalest first (37 of
+    # 46; the remaining nine lead the tail below for the r16 window —
+    # three were evicted when the lsh_pairs_from_index trio above
+    # rotated in). ---
     "asof_join_cogrouped",
     "bom_explosion_recursive",
     "business_day_ship_latency",
